@@ -1,0 +1,331 @@
+"""Hierarchical mip-NeRF renderer: a jit-compiled pure render over ray batches.
+
+TPU-first redesign of the reference's ``NerfRenderer``
+(``nerfmatch/nerf/renderer.py:26-333``):
+
+* no in-graph Python chunk loop — the whole ray batch is one traced program
+  (the MLP over rays x samples is a single large matmul for the MXU); host-side
+  chunking only for full-image eval, with padded fixed-size chunks so there is
+  exactly one compilation per chunk shape;
+* explicit PRNG keys for perturbed sampling / density noise;
+* coarse-to-fine hierarchy with static model configs (coarse/fine/single);
+* feature tap + along-ray feature compositing ('lin' weighted sum or 'max'
+  surface sample) for NeRF descriptors (``renderer.py:250-265``);
+* appearance-embedding table (16-dim) as part of the params pytree.
+
+Params pytree layout (mirrors the torch state dict for the ckpt bridge):
+``{"nerf_coarse": {...}, "nerf_fine": {...}, "embedding_a": {"weight": (V, 16)}}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compositing import composite_features, t_to_s, volume_render
+from .embedding import fourier_embedding, fourier_embedding_dim, ipe_embedding, \
+    ipe_embedding_dim, pe_embedding
+from .model import NerfConfig, init_nerf_params, nerf_apply
+from .rays import RAY_VIEWDIR, sample_nerf_rays
+from .sampling import sample_along_rays
+from ..utils.geometry import unnormalize_pts
+
+APP_EMBED_DIM = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    embed_type: str = "mip"              # "mip" | "normal"
+    xyz_num_freqs: int = 15
+    dirs_num_freqs: int = 4
+    use_viewdirs: bool = True
+    use_disp: bool = False
+    perturb: bool = True
+    noise_std: float = 1.0
+    white_bg: bool = False
+    chunksize: int = 16384               # host-side eval chunk (in rays*samples)
+    single_model: bool = False
+    appearance_embedding: bool = False
+    mip_var_scale: float = -1.0
+    feat_comb: str = "lin"               # "lin" | "max"
+    output_dim: int = 4
+    num_out_ch: int = 0                  # extra scene-coord channels (out_scr)
+    out_scr: bool = False
+
+    @classmethod
+    def from_config(cls, config):
+        """Build from a reference-style nested config namespace."""
+        render = config.render
+        emb = config.embedding
+        data = getattr(config, "data", None)
+        return cls(
+            embed_type=getattr(emb, "type", "normal"),
+            xyz_num_freqs=emb.xyz_num_freqs,
+            dirs_num_freqs=getattr(emb, "dirs_num_freqs", 4),
+            use_viewdirs=render.use_viewdirs,
+            use_disp=render.use_disp,
+            perturb=render.perturb,
+            noise_std=render.noise_std,
+            white_bg=render.white_bg or bool(getattr(data, "white_bg", False)),
+            chunksize=render.chunksize,
+            single_model=bool(getattr(render, "single_model", False)),
+            appearance_embedding=bool(getattr(emb, "appearance_embed", False)),
+            mip_var_scale=getattr(emb, "mip_var_scale", -1),
+            output_dim=getattr(getattr(config, "fine_nerf", None), "output_dim", 4),
+            out_scr=bool(getattr(data, "out_scr", False)),
+            num_out_ch=3 if getattr(data, "out_scr", False) else 0,
+        )
+
+
+class NerfRenderer:
+    """Static config holder; all compute methods are pure in params."""
+
+    def __init__(self, config, num_frames: int | None = None, stop_layer: int = -1):
+        """``config``: reference-style namespace with ``render``, ``embedding``,
+        ``coarse_nerf``, ``fine_nerf`` (and optionally ``data``) sections."""
+        self.cfg = RenderConfig.from_config(config)
+        in_ch = 3
+        if self.cfg.embed_type == "mip":
+            xyz_emb_dim = ipe_embedding_dim(in_ch, self.cfg.xyz_num_freqs)
+        else:
+            xyz_emb_dim = fourier_embedding_dim(in_ch, self.cfg.xyz_num_freqs)
+        if self.cfg.use_viewdirs:
+            if self.cfg.embed_type == "mip":
+                dirs_emb_dim = 2 * 3 * self.cfg.dirs_num_freqs + 3
+            else:
+                dirs_emb_dim = fourier_embedding_dim(3, self.cfg.dirs_num_freqs)
+        else:
+            dirs_emb_dim = 0
+        self.xyz_emb_dim = xyz_emb_dim
+        self.dirs_emb_dim = dirs_emb_dim
+        app_dim = APP_EMBED_DIM if self.cfg.appearance_embedding else 0
+
+        common = dict(
+            use_viewdirs=self.cfg.use_viewdirs,
+            xyz_dim=xyz_emb_dim,
+            dirs_dim=dirs_emb_dim,
+            app_dim=app_dim,
+            out_3d_pnt=self.cfg.out_scr,
+            out_add_ch=self.cfg.num_out_ch,
+        )
+        self.coarse_cfg = None
+        if not self.cfg.single_model:
+            self.coarse_cfg = NerfConfig.from_namespace(config.coarse_nerf, **common)
+        fine_ns = getattr(config, "fine_nerf", None)
+        self.fine_cfg = None
+        if fine_ns is not None:
+            self.fine_cfg = NerfConfig.from_namespace(
+                fine_ns, stop_layer=stop_layer, **common)
+        self.num_frames = num_frames
+
+    # ------------------------------------------------------------------
+    # Params
+    # ------------------------------------------------------------------
+
+    def init_params(self, key):
+        keys = jax.random.split(key, 3)
+        params = {}
+        if self.coarse_cfg is not None:
+            params["nerf_coarse"] = init_nerf_params(keys[0], self.coarse_cfg)
+        if self.fine_cfg is not None:
+            params["nerf_fine"] = init_nerf_params(keys[1], self.fine_cfg)
+        if self.cfg.appearance_embedding:
+            params["embedding_a"] = {
+                "weight": jax.random.normal(
+                    keys[2], (self.num_frames, APP_EMBED_DIM), jnp.float32
+                )
+            }
+        return params
+
+    # ------------------------------------------------------------------
+    # Encoders
+    # ------------------------------------------------------------------
+
+    def encode_xyz(self, pts, var=None):
+        if self.cfg.embed_type == "mip":
+            enc, _ = ipe_embedding(pts, var, self.cfg.xyz_num_freqs)
+            return enc
+        return fourier_embedding(pts, self.cfg.xyz_num_freqs)
+
+    def encode_dirs(self, dirs):
+        if self.cfg.embed_type == "mip":
+            return pe_embedding(dirs, self.cfg.dirs_num_freqs)
+        return fourier_embedding(dirs, self.cfg.dirs_num_freqs)
+
+    # ------------------------------------------------------------------
+    # Core render
+    # ------------------------------------------------------------------
+
+    def _forward_nerf(self, params, model_cfg, pts, var, viewdirs, app_emb,
+                      validation: bool):
+        """Encode + MLP over (R, S) samples; returns (raw (R,S,C), feat (R,S,F))."""
+        R, S = pts.shape[:2]
+        inputs = self.encode_xyz(pts, var)
+        if self.cfg.use_viewdirs:
+            dirs_emb = self.encode_dirs(viewdirs)  # (R, D)
+            dirs_emb = jnp.broadcast_to(dirs_emb[:, None, :], (R, S, dirs_emb.shape[-1]))
+            inputs = jnp.concatenate([inputs, dirs_emb], axis=-1)
+        if app_emb is not None:
+            app = jnp.broadcast_to(app_emb[:, None, :], (R, S, app_emb.shape[-1]))
+            inputs = jnp.concatenate([inputs, app], axis=-1)
+        return nerf_apply(params, model_cfg, inputs, val=validation)
+
+    def render_rays(self, params, rays, key=None, ray_id=None, train: bool = False,
+                    ret_pfeat: bool = False, validation: bool | None = None):
+        """Hierarchical render of a ray batch (R, 12) -> dict of per-ray maps.
+
+        Pure function of (params, rays, key); jit with
+        ``jax.jit(renderer.render_rays, static_argnames=("train", "ret_pfeat",
+        "validation"))`` or use :meth:`render_fn`.
+        """
+        if validation is None:
+            validation = not train
+        rays_d = rays[..., 3:6]
+        viewdirs = rays[..., RAY_VIEWDIR] if rays.shape[-1] >= 11 else rays_d
+        mip = self.cfg.embed_type == "mip"
+
+        if self.cfg.single_model:
+            stages = [("coarse", "nerf_fine", self.fine_cfg),
+                      ("fine", "nerf_fine", self.fine_cfg)]
+        else:
+            stages = [("coarse", "nerf_coarse", self.coarse_cfg),
+                      ("fine", "nerf_fine", self.fine_cfg)]
+
+        if self.cfg.appearance_embedding:
+            if ray_id is None:
+                ray_id = jnp.ones((rays.shape[0],), jnp.int32)
+            app_emb = params["embedding_a"]["weight"][ray_id]
+        else:
+            app_emb = None
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        preds = {}
+        z_vals = weights = None
+        for stage, pkey, mcfg in stages:
+            if mcfg is None:
+                continue
+            key, k_samp, k_noise = jax.random.split(key, 3)
+            pts, z_vals = sample_along_rays(
+                rays, num_pts=mcfg.num_pts, z_vals=z_vals, weights=weights,
+                use_disp=self.cfg.use_disp,
+                perturb=self.cfg.perturb if train else False,
+                embed_type=self.cfg.embed_type, model_type=stage,
+                randomized=train, scale_var=self.cfg.mip_var_scale,
+                key=k_samp,
+            )
+            if mip:
+                pts, var = pts
+            else:
+                var = None
+
+            raw, feats = self._forward_nerf(
+                params[pkey], mcfg, pts, var, viewdirs, app_emb, validation)
+
+            rendered = volume_render(
+                raw[..., : self.cfg.output_dim + self.cfg.num_out_ch + 3],
+                z_vals, rays_d,
+                noise_std=self.cfg.noise_std if train else 0.0,
+                white_bg=self.cfg.white_bg, mip=mip,
+                input_dim=self.cfg.output_dim, key=k_noise,
+                out_last=self.cfg.num_out_ch > 0,
+            )
+            weights = rendered["weights"]
+
+            if ret_pfeat:
+                preds[f"feat_{stage}"] = composite_features(
+                    weights, feats, self.cfg.feat_comb)
+
+            if self.cfg.out_scr and not validation:
+                preds[f"scr_{stage}"] = (
+                    rays[:, :3]
+                    + rays_d * jax.lax.stop_gradient(rendered["depth"])[:, None]
+                    - rendered["last"]
+                )
+
+            if validation:
+                preds[f"pts_{stage}"] = composite_features(
+                    weights, pts, self.cfg.feat_comb)
+
+            if stage == "fine" and not validation:
+                s_vals = t_to_s(z_vals, near=jnp.min(z_vals), far=jnp.max(z_vals))
+                preds["s_fine"] = s_vals
+                preds["weights_fine"] = weights
+
+            preds[f"rgb_{stage}"] = rendered["rgb"]
+            preds[f"depth_{stage}"] = rendered["depth"]
+        return preds
+
+    # ------------------------------------------------------------------
+    # Jitted entry points
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _render_jit(self):
+        return jax.jit(
+            self.render_rays,
+            static_argnames=("train", "ret_pfeat", "validation"),
+        )
+
+    def render_fn(self):
+        return self._render_jit
+
+    def predict(self, params, rays, w: int | None = None, h: int | None = None,
+                ray_id=None, ret_pfeat: bool = False, chunk_rays: int = 4096):
+        """Full-batch eval render with host-side fixed-shape chunking.
+
+        Pads the ray batch to a multiple of ``chunk_rays`` so only one program
+        is compiled, then strips padding and reshapes image-shaped outputs.
+        """
+        n = rays.shape[0]
+        n_pad = (-n) % chunk_rays
+        rays_p = np.concatenate(
+            [np.asarray(rays), np.broadcast_to(np.asarray(rays[-1:]), (n_pad, rays.shape[-1]))]
+        ) if n_pad else np.asarray(rays)
+        rid = None
+        if ray_id is not None:
+            rid = np.concatenate([np.asarray(ray_id),
+                                  np.zeros(n_pad, np.int32)]) if n_pad else np.asarray(ray_id)
+
+        chunks = []
+        fn = self._render_jit
+        for i in range(0, rays_p.shape[0], chunk_rays):
+            r = jnp.asarray(rays_p[i : i + chunk_rays])
+            ri = jnp.asarray(rid[i : i + chunk_rays]) if rid is not None else None
+            chunks.append(fn(params, r, ray_id=ri, train=False,
+                             ret_pfeat=ret_pfeat, validation=True))
+        preds = {
+            k: np.concatenate([np.asarray(c[k]) for c in chunks])[:n]
+            for k in chunks[0]
+        }
+        img_keys = ["rgb_coarse", "depth_coarse", "rgb_fine", "depth_fine"]
+        if w is not None and h is not None:
+            for k in img_keys:
+                if k in preds and preds[k].shape[0] == h * w:
+                    preds[k] = preds[k].reshape(h, w, -1)
+        return preds
+
+    def render_novel_view(self, params, img_hw, K, c2w, unnorm_scene,
+                          downsample: int = 8):
+        """Render rgb + 3D points + NeRF features on a ds-grid at a given pose.
+
+        Matches the reference API (``renderer.py:315-333``): ``c2w`` is a
+        *world*-frame pose; it is normalized into the scene sphere internally,
+        and returned points are un-normalized back to world coords.
+        """
+        H, W = img_hw
+        unnorm_scene = np.asarray(unnorm_scene)
+        c2w_n = jnp.asarray(np.linalg.inv(unnorm_scene) @ np.asarray(c2w))
+        rays = sample_nerf_rays(H, W, jnp.asarray(K), c2w_n, ds=downsample,
+                                embed_type=self.cfg.embed_type)
+        preds = self.predict(params, rays, W // downsample, H // downsample,
+                             ret_pfeat=True)
+        pt3d = unnormalize_pts(jnp.asarray(preds["pts_fine"])[None],
+                               jnp.asarray(unnorm_scene)[None])[0]
+        return dict(im_pred=preds["rgb_fine"], pt3d=np.asarray(pt3d),
+                    pt_feat=preds["feat_fine"])
