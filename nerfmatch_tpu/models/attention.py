@@ -1,0 +1,190 @@
+"""Transformer attention primitives for the matcher.
+
+Capability match for the reference's ``nerfmatch/modules/attention.py``
+(FullAttention :44-57, LocalitySelfAttention :60-81, MultiHeadAttention
+:84-133, FeedForwardNetwork :136-154, GenericEncoderLayer :157-252,
+Self/SelfCross blocks :255-331) as pure functions over param pytrees.
+
+The attention einsums run in one fused ``jax.nn.dot_product_attention``-style
+contraction that XLA maps onto the MXU; sequence lengths here are <= ~4k
+tokens so full (non-flash) attention is the right choice on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .layers import ACTIVATIONS, init_layernorm, init_linear, layer_norm, linear
+
+
+# ---------------------------------------------------------------------------
+# Attention cores
+# ---------------------------------------------------------------------------
+
+def full_attention(q, k, v, temperature=None):
+    """Vanilla softmax attention; q,k,v: (B, L|S, H, D)."""
+    scale = (1.0 / jnp.sqrt(q.shape[-1])) if temperature is None else temperature
+    logits = jnp.einsum("blhd,bshd->blsh", q * scale, k)
+    z = jax.nn.softmax(logits, axis=2)
+    return jnp.einsum("blsh,bshd->blhd", z, v)
+
+
+def lsa_attention(q, k, v, log_scale):
+    """Locality self-attention: learned temperature ``exp(log_scale)`` with a
+    -inf diagonal mask (Vision Transformer for Small-Size Datasets)."""
+    logits = jnp.einsum("blhd,bshd->blsh", q, k) * jnp.exp(log_scale)
+    L = logits.shape[1]
+    eye = jnp.eye(L, dtype=bool)[None, :, :, None]
+    logits = jnp.where(eye, jnp.finfo(logits.dtype).min, logits)
+    z = jax.nn.softmax(logits, axis=2)
+    return jnp.einsum("blsh,bshd->blhd", z, v)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+def init_mha(key, model_dim: int, context_dim: int | None = None,
+             head_num: int = 8, head_dim: int = 64, att_type: str = "full"):
+    context_dim = context_dim or model_dim
+    inner = head_num * head_dim
+    keys = jax.random.split(key, 4)
+    p = {
+        "proj_q": init_linear(keys[0], model_dim, inner, bias=False),
+        "proj_k": init_linear(keys[1], context_dim, inner, bias=False),
+        "proj_v": init_linear(keys[2], context_dim, inner, bias=False),
+        "proj_out": init_linear(keys[3], inner, model_dim, bias=False),
+    }
+    if att_type == "lsa":
+        p["scale"] = jnp.log(jnp.asarray(head_dim**-0.5, jnp.float32))
+    return p
+
+
+def mha_apply(params, query, key, value, head_num: int, att_type: str = "full"):
+    q = linear(params["proj_q"], query)
+    k = linear(params["proj_k"], key)
+    v = linear(params["proj_v"], value)
+
+    def split(t):
+        b, n, _ = t.shape
+        return t.reshape(b, n, head_num, -1)
+
+    q, k, v = split(q), split(k), split(v)
+    if att_type == "lsa":
+        attended = lsa_attention(q, k, v, params["scale"])
+    else:
+        attended = full_attention(q, k, v)
+    b, n = attended.shape[:2]
+    return linear(params["proj_out"], attended.reshape(b, n, -1))
+
+
+# ---------------------------------------------------------------------------
+# FFN + encoder layers
+# ---------------------------------------------------------------------------
+
+def init_ffn(key, in_dim: int, out_dim: int, hidden_dim: int | None = None):
+    hidden_dim = hidden_dim or in_dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, in_dim, hidden_dim),
+        "fc2": init_linear(k2, hidden_dim, out_dim),
+    }
+
+
+def ffn_apply(params, x, act_fn: str = "relu"):
+    return linear(params["fc2"], ACTIVATIONS[act_fn](linear(params["fc1"], x)))
+
+
+def init_encoder_layer(key, model_dim: int = 512, context_dim: int | None = None,
+                       head_num: int = 8, head_dim: int = 64,
+                       norm_type: str = "pre", att_type: str = "full",
+                       att_mode: str = "self"):
+    assert not (att_type == "lsa" and att_mode == "cross")
+    context_dim = context_dim or model_dim
+    k1, k2 = jax.random.split(key)
+    p = {
+        "attention": init_mha(k1, model_dim, context_dim, head_num, head_dim, att_type),
+        "norm1": [init_layernorm(model_dim)],
+        "feedforward": init_ffn(k2, model_dim, model_dim),
+        "norm2": init_layernorm(model_dim),
+    }
+    if norm_type == "pre" and att_mode == "cross":
+        p["norm1"].append(init_layernorm(context_dim))
+    return p
+
+
+def encoder_layer_apply(params, x, context=None, head_num: int = 8,
+                        norm_type: str = "pre", act_fn: str = "gelu",
+                        att_type: str = "full", att_mode: str = "self"):
+    """Pre/post-norm transformer encoder layer, self or cross attention."""
+    if att_mode == "self":
+        assert context is None
+        context = x
+
+    if norm_type == "pre":
+        norm_x = params["norm1"][0]
+        norm_c = params["norm1"][1] if len(params["norm1"]) > 1 else norm_x
+        xn = layer_norm(norm_x, x)
+        cn = layer_norm(norm_c, context) if att_mode == "cross" else xn
+        out = mha_apply(params["attention"], xn, cn, cn, head_num, att_type)
+        out = xn + out
+        h = layer_norm(params["norm2"], out)
+        h = ffn_apply(params["feedforward"], h, act_fn)
+        return out + h
+
+    # post-norm
+    out = mha_apply(params["attention"], x, context, context, head_num, att_type)
+    out = layer_norm(params["norm1"][0], x + out)
+    h = ffn_apply(params["feedforward"], out, act_fn)
+    return layer_norm(params["norm2"], x + h)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def init_self_attention_block(key, layer_num: int, model_dim: int = 256,
+                              head_num: int = 8, head_dim: int = 64,
+                              att_type: str = "full"):
+    keys = jax.random.split(key, max(layer_num, 1))
+    return [
+        init_encoder_layer(keys[i], model_dim=model_dim, head_num=head_num,
+                           head_dim=head_dim, att_type=att_type, att_mode="self")
+        for i in range(layer_num)
+    ]
+
+
+def self_attention_block_apply(params, x, head_num: int = 8,
+                               act_fn: str = "gelu", att_type: str = "full"):
+    for layer in params:
+        x = encoder_layer_apply(layer, x, head_num=head_num, act_fn=act_fn,
+                                att_type=att_type, att_mode="self")
+    return x
+
+
+def init_self_cross_block(key, sa_layer_num: int = 3, model_dim: int = 256,
+                          head_dim: int = 64, sa_head_num: int = 8,
+                          ca_head_num: int = 8, sa_type: str = "lsa",
+                          ca_type: str = "full"):
+    k1, k2 = jax.random.split(key)
+    return {
+        "sa": init_self_attention_block(k1, sa_layer_num, model_dim,
+                                        sa_head_num, head_dim, sa_type),
+        "ca": init_encoder_layer(k2, model_dim=model_dim, context_dim=model_dim,
+                                 head_num=ca_head_num, head_dim=head_dim,
+                                 att_type=ca_type, att_mode="cross"),
+    }
+
+
+def self_cross_block_apply(params, x1, x2, sa_head_num: int = 8,
+                           ca_head_num: int = 8, sa_act: str = "relu",
+                           ca_act: str = "gelu", sa_type: str = "lsa",
+                           ca_type: str = "full"):
+    x1 = self_attention_block_apply(params["sa"], x1, sa_head_num, sa_act, sa_type)
+    x2 = self_attention_block_apply(params["sa"], x2, sa_head_num, sa_act, sa_type)
+    out1 = encoder_layer_apply(params["ca"], x1, x2, ca_head_num, act_fn=ca_act,
+                               att_type=ca_type, att_mode="cross")
+    out2 = encoder_layer_apply(params["ca"], x2, x1, ca_head_num, act_fn=ca_act,
+                               att_type=ca_type, att_mode="cross")
+    return out1, out2

@@ -1,0 +1,249 @@
+"""NeRFMatch coarse-to-fine matcher (the "Full" model).
+
+Capability match for the reference's ``NeRFMatcherMS``
+(``nerfmatch_c2f_trainer.py:77-551``) + the LoFTR fine stage
+(``third_party/loftr/fine_matching.py``), redesigned with fixed shapes:
+
+* two-scale ConvFormer backbone (1/8 coarse + 1/2 fine, stem surgery);
+* the same coarse dual-softmax path as the Mini model;
+* fine stage over a *fixed-length* match list: 5x5 windows of the 1/2
+  feature map are gathered at coarse match sites with ``dynamic_slice``
+  (replacing torch ``F.unfold``'s full-map unfold + ragged select,
+  ``fine_matching.py:46-55``), run through a self-attention block, and
+  matched point-vs-window via softmax heatmap + dsnt spatial expectation;
+* fine pixel coords: ``mpt2d_c + expec_f[:, :2] * win_sz/2 * fine_ds``
+  (``nerfmatch_c2f_trainer.py:465``).
+
+Note: the reference's ``FinePreprocess`` computes the coarse-context merge
+(``cat_c_feat``) but *returns the unmerged windows* (``fine_matching.py:58-71``
+— the merged tensor is discarded).  We reproduce that behavior by default for
+checkpoint parity; set ``use_merged_fine=True`` to actually use the merge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dsnt import heatmap_expectation_with_std
+from ..ops.matching import dual_softmax, extract_mutual_matches
+from .attention import init_self_attention_block, self_attention_block_apply, \
+    init_encoder_layer
+from .backbone import backbone_8_2_apply, init_backbone_8_2
+from .layers import init_linear, init_linear_kaiming, linear
+from .matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
+
+
+@dataclasses.dataclass(frozen=True)
+class C2FMatcherConfig(CoarseMatcherConfig):
+    ffeat_dim: int = 128
+    fine_sa: int = 1
+    fsa_type: str = "full"
+    win_sz: int = 5
+    fine_ds: int = 2
+    fine_stride: int = 4          # fine map cells per coarse cell
+    cat_c_feat: bool = True
+    use_merged_fine: bool = False  # reference discards the merge; opt-in fix
+    coarse_percent: float = 0.3
+    coarse_dthres: float = 20.0
+    fine_loss: str = "match"
+
+    @classmethod
+    def from_namespace(cls, ns):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(ns).items() if k in fields})
+
+
+class NeRFMatcherMS(NeRFMatcherCoarse):
+    """Coarse-to-fine matcher; pure in params (static config on self)."""
+
+    def __init__(self, config):
+        self.cfg = (config if isinstance(config, C2FMatcherConfig)
+                    else C2FMatcherConfig.from_namespace(config))
+        from .backbone import make_config
+        self.backbone_cfg = make_config(self.cfg.backbone, two_scale=True)
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        cfg = self.cfg
+        keys = jax.random.split(key, 16)
+        params = {}
+        params["backbone"], _ = init_backbone_8_2(keys[0], cfg.backbone)
+        cdim, fdim = self.backbone_cfg.dims[1], self.backbone_cfg.dims[0]
+        if cdim != cfg.cfeat_dim:
+            params["cfeat_proj"] = init_linear(keys[1], cdim, cfg.cfeat_dim)
+        if fdim != cfg.ffeat_dim:
+            params["ffeat_proj"] = init_linear(keys[2], fdim, cfg.ffeat_dim)
+        params["temperature"] = jnp.asarray(
+            0.1 if cfg.temp_type == "div" else 10.0, jnp.float32)
+        if cfg.effective_pt_dim != cfg.cfeat_dim:
+            params["pt_proj"] = init_linear(keys[3], cfg.effective_pt_dim, cfg.cfeat_dim)
+        if cfg.pt_pe_dim > 0:
+            params["pt_pe_proj"] = init_linear(
+                keys[4], cfg.cfeat_dim + cfg.pt_pe_dim, cfg.cfeat_dim)
+        if cfg.has_pt_sa:
+            params["pt_sa"] = init_self_attention_block(
+                keys[5], cfg.pt_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.has_im_sa and cfg.im_sa_type == "full":
+            params["im_sa"] = init_self_attention_block(
+                keys[6], cfg.im_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.cformer_type.startswith("crs") and cfg.coarse_layers > 0:
+            params["coarse_former"] = init_encoder_layer(
+                keys[7], model_dim=cfg.cfeat_dim, context_dim=cfg.cfeat_dim,
+                head_num=8, head_dim=cfg.cfeat_dim // 8, att_mode="cross")
+        # Point fine-feature projection (2 linears, no activation).
+        params["pt_ffeat_proj"] = [
+            init_linear(keys[8], cfg.cfeat_dim, cfg.ffeat_dim),
+            init_linear(keys[9], cfg.ffeat_dim, cfg.ffeat_dim),
+        ]
+        if cfg.cat_c_feat:
+            params["fine_preprocess"] = {
+                "down_proj": init_linear_kaiming(keys[10], cfg.cfeat_dim, cfg.ffeat_dim),
+                "merge_feat": init_linear_kaiming(keys[11], 2 * cfg.ffeat_dim,
+                                                  cfg.ffeat_dim),
+            }
+        if cfg.fine_sa > 0:
+            params["fine_sa"] = init_self_attention_block(
+                keys[12], cfg.fine_sa, cfg.ffeat_dim, head_num=8,
+                head_dim=cfg.ffeat_dim // 8, att_type=cfg.fsa_type)
+        return params
+
+    # ------------------------------------------------------------------
+    def extract_im_feat_ms(self, params, img_nhwc):
+        """-> (coarse tokens (B, M, cdim), fine map (B, Hf, Wf, fdim))."""
+        cfg = self.cfg
+        fmap_c, fmap_f = backbone_8_2_apply(params["backbone"], self.backbone_cfg,
+                                            img_nhwc)
+        b, h, w, _ = fmap_c.shape
+        cfeat = fmap_c.reshape(b, h * w, -1)
+        if "cfeat_proj" in params:
+            cfeat = linear(params["cfeat_proj"], cfeat)
+        if "ffeat_proj" in params:
+            fmap_f = linear(params["ffeat_proj"], fmap_f)
+        if cfg.im_pe:
+            from .position_encoding import add_sine_pe
+            cfeat = add_sine_pe(cfeat.reshape(b, h, w, -1)).reshape(b, h * w, -1)
+        if cfg.has_im_sa:
+            sa = params["pt_sa"] if cfg.im_sa_type == "share" else params["im_sa"]
+            cfeat = self_attention_block_apply(sa, cfeat, head_num=8)
+        return cfeat, fmap_f
+
+    # ------------------------------------------------------------------
+    def gather_fine_windows(self, params, fmap_f, im_cfeat, b_ids, i_ids,
+                            coarse_w: int):
+        """Gather W x W fine-feature windows at coarse match sites.
+
+        fmap_f: (B, Hf, Wf, Cf); match list (L,) b_ids/i_ids over the (Hc*Wc)
+        coarse grid with Wc = coarse_w.  Window centers sit at
+        (iy*stride, ix*stride) on the fine map; borders are zero-padded
+        (equivalent to torch unfold with padding W//2).
+        Returns (L, W*W, Cf).
+        """
+        cfg = self.cfg
+        W = cfg.win_sz
+        half = W // 2
+        padded = jnp.pad(fmap_f, ((0, 0), (half, half), (half, half), (0, 0)))
+
+        iy = i_ids // coarse_w
+        ix = i_ids % coarse_w
+
+        def one(b, cy, cx):
+            return jax.lax.dynamic_slice(
+                padded, (b, cy * cfg.fine_stride, cx * cfg.fine_stride, 0),
+                (1, W, W, padded.shape[-1]))[0]
+
+        wins = jax.vmap(one)(b_ids, iy, ix)               # (L, W, W, Cf)
+        wins = wins.reshape(wins.shape[0], W * W, -1)
+        if cfg.cat_c_feat and "fine_preprocess" in params:
+            c_sel = im_cfeat[b_ids, i_ids]                # (L, cdim)
+            c_win = linear(params["fine_preprocess"]["down_proj"], c_sel)
+            merged = linear(
+                params["fine_preprocess"]["merge_feat"],
+                jnp.concatenate(
+                    [wins, jnp.broadcast_to(c_win[:, None, :],
+                                            (*wins.shape[:2], c_win.shape[-1]))],
+                    axis=-1))
+            if cfg.use_merged_fine:
+                wins = merged
+            # else: reference behavior — merge computed, windows returned raw.
+        return wins
+
+    def fine_matching(self, params, pt_ffeat_sel, win_feat):
+        """Point-vs-window subpixel regression.
+
+        pt_ffeat_sel: (L, Cf); win_feat: (L, WW, Cf) -> expec_f (L, 3)
+        [(x, y) in [-1, 1] window coords + heatmap std].
+        """
+        W = self.cfg.win_sz
+        C = win_feat.shape[-1]
+        sim = jnp.einsum("mc,mrc->mr", pt_ffeat_sel, win_feat) / jnp.sqrt(C * 1.0)
+        heat = jax.nn.softmax(sim, axis=1).reshape(-1, W, W)
+        coords, std = heatmap_expectation_with_std(heat)
+        return jnp.concatenate([coords, std[:, None]], axis=-1)
+
+    # ------------------------------------------------------------------
+    def forward_fine(self, params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
+                     j_ids, coarse_w: int):
+        """Fine stage over a fixed-length match list -> expec_f (L, 3)."""
+        pt_ffeat = pt_cfeat
+        for lyr in params["pt_ffeat_proj"]:
+            pt_ffeat = linear(lyr, pt_ffeat)
+        pt_sel = pt_ffeat[b_ids, j_ids]                  # (L, Cf)
+        wins = self.gather_fine_windows(params, fmap_f, im_cfeat, b_ids, i_ids,
+                                        coarse_w)
+        if "fine_sa" in params:
+            wins = self_attention_block_apply(
+                params["fine_sa"], wins, head_num=8, att_type=self.cfg.fsa_type)
+        return self.fine_matching(params, pt_sel, wins)
+
+    def forward_match(self, params, img, pt_feat, pt3d, im_mask=None,
+                      pt_mask=None, mutual: bool = False,
+                      match_thres: float = 0.0, key=None,
+                      match_list=None, ret_feats: bool = False):
+        """Full c2f forward.
+
+        ``match_list``: optional precomputed fixed-length (b_ids, i_ids,
+        j_ids) dict (e.g. GT-padded during training).  When None, the fine
+        stage runs over *every* image token with its best point (dense mode) —
+        invalid tokens are masked downstream via ``valid``.
+
+        Returns dict(conf_matrix, j_ids, mconf, valid, expec_f, fine list ids).
+        """
+        cfg = self.cfg
+        im_cfeat, fmap_f = self.extract_im_feat_ms(params, img)
+        pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
+        im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
+        conf, im_n, pt_n = dual_softmax(
+            im_cfeat, pt_cfeat, params["temperature"], im_mask, pt_mask,
+            temp_type=cfg.temp_type)
+        matches = extract_mutual_matches(conf, mutual=mutual, threshold=match_thres)
+
+        B, M = matches["j_ids"].shape
+        coarse_w = int(jnp.sqrt(M)) if img is None else img.shape[2] // 8
+
+        if match_list is None:
+            b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
+            i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
+            j_ids = matches["j_ids"].reshape(-1)
+        else:
+            b_ids = match_list["b_ids"]
+            i_ids = match_list["i_ids"]
+            j_ids = match_list["j_ids"]
+
+        expec_f = self.forward_fine(params, fmap_f, im_cfeat, pt_cfeat,
+                                    b_ids, i_ids, j_ids, coarse_w)
+        out = dict(conf_matrix=conf, expec_f=expec_f,
+                   fine_b_ids=b_ids, fine_i_ids=i_ids, fine_j_ids=j_ids,
+                   **matches)
+        if ret_feats:
+            out["im_cfeat"] = im_n
+            out["pt_cfeat"] = pt_n
+        return out
+
+    def fine_coords(self, expec_f, mpt2d_c):
+        """Window-normalized offsets -> image-resolution fine coords."""
+        return mpt2d_c + expec_f[:, :2] * self.cfg.win_sz / 2 * self.cfg.fine_ds

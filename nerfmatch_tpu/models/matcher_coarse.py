@@ -1,0 +1,239 @@
+"""NeRFMatch coarse matcher (the "Mini" model): 2D image tokens vs 3D NeRF
+point features via dual-softmax.
+
+Capability match for the reference's ``NeRFMatcherCoarse``
+(``nerfmatch_coarse_trainer.py:50-388``) as a pure params+apply model:
+
+image: ConvFormer 1/8 features -> flatten -> linear proj to cfeat_dim ->
+optional sine PE -> optional self-attention;
+points: NeRF descriptors (or pt3d/pe3d/rand ablations,
+``:197-203``) -> proj -> optional Fourier positional encoding concat+proj
+(pre or post self-attention) -> self-attention;
+optional cross-attention ``coarse_former``; masked dual-softmax with learned
+(mul/Aspanformer) or fixed (div/LoFTR) temperature; dense fixed-shape mutual
+match extraction (see :mod:`nerfmatch_tpu.ops.matching`).
+
+Multi-pair (retrieval top-k) inference vmaps over the pair axis instead of
+the reference's Python loop (``:290-336``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nerf.embedding import fourier_embedding, fourier_embedding_dim
+from ..ops.matching import dual_softmax, extract_mutual_matches
+from .attention import (
+    init_encoder_layer,
+    encoder_layer_apply,
+    init_self_attention_block,
+    self_attention_block_apply,
+)
+from .backbone import backbone_apply, init_backbone
+from .layers import init_linear, linear
+from .position_encoding import add_sine_pe
+
+PT_PE_FREQS = 15  # FourierEmbedding(15) in the reference
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseMatcherConfig:
+    backbone: str = "convformer384"
+    pretrained: bool = True
+    cfeat_dim: int = 256
+    temp_type: str = "mul"          # "mul" (trainable x10) | "div" (fixed /0.1)
+    im_pe: bool = True
+    im_sa: int = 3
+    im_sa_type: str | None = "share"
+    pt_dim: int = 256
+    pt_ftype: str = "nerf"          # "nerf" | "pt3d" | "pe3d" | "rand"
+    pt_feat_norm: bool = False
+    pt_pe: bool = True
+    pt_pe_type: str = "fourier"     # "fourier" | "id"
+    post_pt_pe: bool = False
+    pt_sa: int = 3
+    pt_sa_type: str | None = "full"
+    cformer_type: str = "crs"       # "crs" | "crsv2"
+    coarse_layers: int = 1
+
+    @classmethod
+    def from_namespace(cls, ns):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(ns).items() if k in fields})
+
+    @property
+    def effective_pt_dim(self):
+        if self.pt_ftype == "pe3d":
+            return fourier_embedding_dim(3, PT_PE_FREQS)
+        if self.pt_ftype == "pt3d":
+            return 3
+        return self.pt_dim
+
+    @property
+    def pt_pe_dim(self):
+        if not self.pt_pe:
+            return 0
+        if self.pt_pe_type == "id":
+            return self.effective_pt_dim
+        return fourier_embedding_dim(3, PT_PE_FREQS)
+
+    @property
+    def has_pt_sa(self):
+        return self.pt_sa_type is not None and self.pt_sa > 0
+
+    @property
+    def has_im_sa(self):
+        return self.im_sa_type is not None and self.im_sa > 0
+
+
+def feature_normalization(x):
+    """Center + max-norm normalize a (B, N, D) point cloud / feature set
+    (reference ``nerfmatch_coarse_trainer.py:42-47``)."""
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    max_norm = jnp.max(jnp.linalg.norm(x, axis=-1), axis=-1)
+    return x / max_norm[:, None, None]
+
+
+class NeRFMatcherCoarse:
+    """Static-config holder; all compute is pure in the params pytree."""
+
+    def __init__(self, config):
+        self.cfg = (config if isinstance(config, CoarseMatcherConfig)
+                    else CoarseMatcherConfig.from_namespace(config))
+        from .backbone import make_config
+        self.backbone_cfg = make_config(self.cfg.backbone, two_scale=False)
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        cfg = self.cfg
+        keys = jax.random.split(key, 8)
+        params = {}
+        params["backbone"], _ = init_backbone(keys[0], cfg.backbone)
+        if self.backbone_cfg.feat_dim != cfg.cfeat_dim:
+            params["cfeat_proj"] = init_linear(
+                keys[1], self.backbone_cfg.feat_dim, cfg.cfeat_dim)
+        params["temperature"] = jnp.asarray(
+            0.1 if cfg.temp_type == "div" else 10.0, jnp.float32)
+        if cfg.effective_pt_dim != cfg.cfeat_dim:
+            params["pt_proj"] = init_linear(keys[2], cfg.effective_pt_dim, cfg.cfeat_dim)
+        if cfg.pt_pe_dim > 0:
+            params["pt_pe_proj"] = init_linear(
+                keys[3], cfg.cfeat_dim + cfg.pt_pe_dim, cfg.cfeat_dim)
+        if cfg.has_pt_sa:
+            params["pt_sa"] = init_self_attention_block(
+                keys[4], cfg.pt_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.has_im_sa and cfg.im_sa_type == "full":
+            params["im_sa"] = init_self_attention_block(
+                keys[5], cfg.im_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.cformer_type.startswith("crs") and cfg.coarse_layers > 0:
+            params["coarse_former"] = init_encoder_layer(
+                keys[6], model_dim=cfg.cfeat_dim, context_dim=cfg.cfeat_dim,
+                head_num=8, head_dim=cfg.cfeat_dim // 8, att_mode="cross")
+        return params
+
+    # ------------------------------------------------------------------
+    def extract_im_feat(self, params, img_nhwc):
+        """(B, H, W, 3) -> (B, (H/8)*(W/8), cfeat_dim) image tokens."""
+        cfg = self.cfg
+        fmap = backbone_apply(params["backbone"], self.backbone_cfg, img_nhwc)
+        b, h, w, c = fmap.shape
+        feat = fmap.reshape(b, h * w, c)
+        if "cfeat_proj" in params:
+            feat = linear(params["cfeat_proj"], feat)
+        if cfg.im_pe:
+            feat = add_sine_pe(feat.reshape(b, h, w, -1)).reshape(b, h * w, -1)
+        if cfg.has_im_sa:
+            sa = params["pt_sa"] if cfg.im_sa_type == "share" else params["im_sa"]
+            feat = self_attention_block_apply(sa, feat, head_num=8)
+        return feat
+
+    def _cat_pe(self, params, pt_feat, pt_feat_in, pt3d):
+        pe = pt_feat_in if self.cfg.pt_pe_type == "id" \
+            else fourier_embedding(pt3d, PT_PE_FREQS)
+        return linear(params["pt_pe_proj"], jnp.concatenate([pt_feat, pe], axis=-1))
+
+    def extract_pt_feat(self, params, pt_feat, pt3d, key=None):
+        """(B, N, pt_dim), (B, N, 3) -> (B, N, cfeat_dim) point tokens."""
+        cfg = self.cfg
+        if cfg.pt_feat_norm:
+            pt_feat = feature_normalization(pt_feat)
+            pt3d = feature_normalization(pt3d)
+        if cfg.pt_ftype == "pt3d":
+            pt_feat = pt3d
+        elif cfg.pt_ftype == "rand":
+            assert key is not None
+            pt_feat = jax.random.normal(
+                key, (*pt_feat.shape[:2], cfg.effective_pt_dim), pt_feat.dtype)
+        elif cfg.pt_ftype == "pe3d":
+            pt_feat = fourier_embedding(pt3d, PT_PE_FREQS)
+
+        pt_feat_in = pt_feat
+        if "pt_proj" in params:
+            pt_feat = linear(params["pt_proj"], pt_feat)
+        if cfg.pt_pe_dim > 0 and not cfg.post_pt_pe:
+            pt_feat = self._cat_pe(params, pt_feat, pt_feat_in, pt3d)
+        if cfg.has_pt_sa:
+            pt_feat = self_attention_block_apply(params["pt_sa"], pt_feat, head_num=8)
+        if cfg.pt_pe_dim > 0 and cfg.post_pt_pe:
+            pt_feat = self._cat_pe(params, pt_feat, pt_feat_in, pt3d)
+        return pt_feat
+
+    def apply_coarse_former(self, params, im_cfeat, pt_cfeat):
+        cfg = self.cfg
+        if "coarse_former" not in params:
+            return im_cfeat, pt_cfeat
+        ca = lambda x, c: encoder_layer_apply(
+            params["coarse_former"], x, c, head_num=8, att_mode="cross")
+        if cfg.cformer_type == "crs":
+            im_cfeat = ca(im_cfeat, pt_cfeat)
+            pt_cfeat = ca(pt_cfeat, im_cfeat)  # sequential: sees updated im
+        else:  # crsv2: parallel
+            im_cfeat, pt_cfeat = ca(im_cfeat, pt_cfeat), ca(pt_cfeat, im_cfeat)
+        return im_cfeat, pt_cfeat
+
+    # ------------------------------------------------------------------
+    def forward_match(self, params, img, pt_feat, pt3d, im_mask=None,
+                      pt_mask=None, mutual: bool = False,
+                      match_thres: float = 0.0, key=None,
+                      ret_feats: bool = False):
+        """Single-pair batch forward -> dense match dict.
+
+        Returns dict(conf_matrix (B,M,N), j_ids (B,M), mconf (B,M),
+        valid (B,M)[, im_cfeat, pt_cfeat]).
+        """
+        im_cfeat = self.extract_im_feat(params, img)
+        pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
+        im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
+        conf, im_n, pt_n = dual_softmax(
+            im_cfeat, pt_cfeat, params["temperature"], im_mask, pt_mask,
+            temp_type=self.cfg.temp_type)
+        matches = extract_mutual_matches(conf, mutual=mutual, threshold=match_thres)
+        out = dict(conf_matrix=conf, **matches)
+        if ret_feats:
+            out["im_cfeat"] = im_n
+            out["pt_cfeat"] = pt_n
+        return out
+
+    def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
+                           pt_mask=None, mutual: bool = False,
+                           match_thres: float = 0.0):
+        """Top-k retrieval pairs: pt tensors carry an extra pair axis
+        (B, K, N, .); matching runs once per pair against the same image via
+        lax.map over K (bounded memory), returning stacked dense matches
+        (K, B, M)."""
+        def one_pair(args):
+            ipt_feat, ipt3d, ipt_mask = args
+            m = self.forward_match(params, img, ipt_feat, ipt3d, im_mask,
+                                   ipt_mask, mutual=mutual, match_thres=match_thres)
+            return {"j_ids": m["j_ids"], "mconf": m["mconf"], "valid": m["valid"]}
+
+        pt_feat_k = jnp.swapaxes(pt_feat, 0, 1)
+        pt3d_k = jnp.swapaxes(pt3d, 0, 1)
+        pt_mask_k = (jnp.swapaxes(pt_mask, 0, 1) if pt_mask is not None
+                     else jnp.ones(pt_feat_k.shape[:3], jnp.float32))
+        return jax.lax.map(one_pair, (pt_feat_k, pt3d_k, pt_mask_k))
