@@ -58,7 +58,7 @@ def layer_norm(params, x, eps: float = 1e-5):
 ACTIVATIONS = {
     "relu": jax.nn.relu,
     "elu": jax.nn.elu,
-    "gelu": jax.nn.gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch nn.GELU (erf)
     "leaky": lambda x: jax.nn.leaky_relu(x, 0.01),
     "sigmoid": jax.nn.sigmoid,
     "star_relu": lambda x: 0.8944 * jax.nn.relu(x) ** 2 - 0.4472,  # MetaFormer StarReLU
