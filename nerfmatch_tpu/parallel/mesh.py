@@ -1,0 +1,69 @@
+"""Mesh + sharding utilities.
+
+The reference scales with PL DDP over NCCL (``nerf_trainer.py:355-362``);
+here parallelism is expressed as data layout: a ``jax.sharding.Mesh`` over
+the chips with named axes, batch arrays sharded over the ``data`` axis and
+params replicated (optionally tensor-sharded over ``model``).  One jitted
+train step over sharded inputs compiles to a single SPMD program — XLA
+inserts the gradient all-reduce over ICI where DDP used NCCL hooks.
+
+Axes:
+  * ``data``  — batch/ray axis (pure DP, the reference's only parallelism);
+  * ``model`` — optional second axis for tensor-sharding wide layers (the
+    NeRF MLP hidden dim / attention heads) on larger meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard dim 0 over 'data'; remaining dims replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a dict of host arrays onto the mesh, batch-dim sharded."""
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.dtype == object or arr.ndim == 0:
+            out[k] = v
+            continue
+        out[k] = jax.device_put(arr, data_sharding(mesh, arr.ndim))
+    return out
+
+
+def replicate_params(params, mesh: Mesh):
+    return jax.device_put(params, replicated(mesh))
+
+
+def all_gather_host(values):
+    """Gather per-host metric lists (single-process: identity; multi-host:
+    jax.experimental.multihost_utils).  Mirrors the reference's
+    all_gather_object val-metric gather (``nerf_trainer.py:190-198``)."""
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(values))
+    return list(np.asarray(gathered).reshape(-1))

@@ -1,0 +1,389 @@
+"""Matcher training runtimes (coarse "Mini" + coarse-to-fine "Full").
+
+Capability match for ``NeRFMatchCoarseTrainer``/``train``
+(``nerfmatch_coarse_trainer.py:391-701``) and ``NeRFMatchMSTrainer``
+(``nerfmatch_c2f_trainer.py:554-880``):
+
+* focal matching loss on the dual-softmax conf matrix; feature-l2 metric;
+* c2f adds the fine loss ('match' global-pixel l2/std or 'exp' local LoFTR
+  expectation) with the ``coarse_only_epochs`` curriculum and fixed-budget
+  GT-padded coarse matches during training;
+* batch-size-adaptive LR ``clr * (devices * bs) / cbs``;
+* val-epoch pose metrics (host PnP over predicted matches) -> median t/R;
+  checkpoints on best val loss and best median translation (+ last, resume).
+
+TPU-first: the train step is one jitted SPMD program over the mesh (batch
+sharded on ``data``); pose-metric PnP runs host-side on val only — the
+reference solves PnP inside every training step (``§3.3``), a per-step
+device->host sync we deliberately drop from the hot path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import namespace2dict
+from ..data import init_data_loader
+from ..models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
+from ..models.matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
+from ..ops.matching import dense_to_match_lists, dual_softmax, \
+    extract_mutual_matches, pad_matches_with_gt
+from ..parallel.mesh import make_mesh, replicate_params, shard_batch
+from ..utils import get_logger
+from ..utils.metrics import (
+    compute_feat_l2,
+    compute_fine_loss_l2_std,
+    compute_fine_match_loss_l2_std,
+    compute_matching_loss,
+    compute_pose_metrics_host,
+)
+from ..utils.optim import config_adaptive_lr, get_lr, init_optimizer, \
+    make_lr_schedule, set_lr
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .logging import MetricsLogger
+
+logger = get_logger(level="INFO", name="matcher_trainer")
+
+
+# ---------------------------------------------------------------------------
+# Forward + loss (pure)
+# ---------------------------------------------------------------------------
+
+def coarse_losses(conf, conf_gt, im_n, pt_n, clamp: bool):
+    coarse_loss = compute_matching_loss(conf, conf_gt, clamp=clamp)
+    feat_l2 = compute_feat_l2(im_n, pt_n, conf_gt)
+    return coarse_loss, feat_l2
+
+
+class CoarseTrainStep:
+    """Jitted coarse matcher train step."""
+
+    def __init__(self, model: NeRFMatcherCoarse, opt):
+        self.model = model
+        self.opt = opt
+
+        @jax.jit
+        def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
+                 conf_gt, key):
+            def loss_fn(p):
+                im_cfeat = self.model.extract_im_feat(p, image)
+                pt_cfeat = self.model.extract_pt_feat(p, pt_feat, pt3d, key=key)
+                im_cfeat, pt_cfeat = self.model.apply_coarse_former(
+                    p, im_cfeat, pt_cfeat)
+                conf, im_n, pt_n = dual_softmax(
+                    im_cfeat, pt_cfeat, p["temperature"], im_mask, pt_mask,
+                    temp_type=self.model.cfg.temp_type)
+                coarse_loss, feat_l2 = coarse_losses(conf, conf_gt, im_n, pt_n,
+                                                     clamp=False)
+                metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
+                           "loss": coarse_loss}
+                return coarse_loss, metrics
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self.step = step
+
+
+class C2FTrainStep:
+    """Jitted c2f matcher train step with GT-padded fine supervision."""
+
+    def __init__(self, model: NeRFMatcherMS, opt):
+        self.model = model
+        self.opt = opt
+        cfg = model.cfg
+
+        @jax.jit
+        def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
+                 conf_gt, pt2d, pt2d_proj, key, coarse_only):
+            k_rand, k_pad = jax.random.split(key)
+
+            def loss_fn(p):
+                im_cfeat, fmap_f = self.model.extract_im_feat_ms(p, image)
+                pt_cfeat = self.model.extract_pt_feat(p, pt_feat, pt3d,
+                                                      key=k_rand)
+                im_cfeat, pt_cfeat = self.model.apply_coarse_former(
+                    p, im_cfeat, pt_cfeat)
+                conf, im_n, pt_n = dual_softmax(
+                    im_cfeat, pt_cfeat, p["temperature"], im_mask, pt_mask,
+                    temp_type=cfg.temp_type)
+                coarse_loss, feat_l2 = coarse_losses(conf, conf_gt, im_n, pt_n,
+                                                     clamp=True)
+
+                # Fixed-budget GT-padded match list for fine supervision.
+                matches = extract_mutual_matches(conf, mutual=False,
+                                                 threshold=0.0)
+                mlist = pad_matches_with_gt(
+                    k_pad, matches, conf_gt,
+                    coarse_percent=cfg.coarse_percent, train_percent=0.3)
+                b_ids, i_ids, j_ids = mlist["b_ids"], mlist["i_ids"], mlist["j_ids"]
+                coarse_w = image.shape[2] // 8
+                expec_f = self.model.forward_fine(
+                    p, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids, coarse_w)
+
+                mpt2d_c = pt2d[b_ids, i_ids]
+                mpt2d_f = self.model.fine_coords(expec_f, mpt2d_c)
+                mpt2d_f_gt = pt2d_proj[b_ids, j_ids]
+
+                coarse_dist = jnp.linalg.norm(mpt2d_f_gt - mpt2d_c, axis=-1)
+                coarse_pos = coarse_dist < cfg.coarse_dthres
+                if cfg.fine_loss == "match":
+                    fine_loss = compute_fine_match_loss_l2_std(
+                        mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos)
+                else:
+                    radius = cfg.fine_ds * cfg.win_sz // 2
+                    expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
+                    fine_loss = compute_fine_loss_l2_std(expec_f, expec_gt)
+
+                loss = jnp.where(coarse_only, coarse_loss,
+                                 coarse_loss + fine_loss)
+                metrics = {
+                    "coarse_loss": coarse_loss,
+                    "fine_loss": fine_loss,
+                    "feat_l2": feat_l2,
+                    "coarse_dist": jnp.mean(coarse_dist),
+                    "coarse_pos_ratio": jnp.mean(coarse_pos * 1.0) * 100,
+                    "loss": loss,
+                }
+                return loss, metrics
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self.step = step
+
+
+# ---------------------------------------------------------------------------
+# Validation (host PnP)
+# ---------------------------------------------------------------------------
+
+def eval_batch_pose(model, params, batch, rthres: float = 1.0,
+                    max_matches: int = 1024, solver: str = "native"):
+    """Forward a val batch + host PnP -> per-sample pose metrics dict."""
+    out = model.forward_match(
+        params, jnp.asarray(batch["image"]), jnp.asarray(batch["pt_feat"]),
+        jnp.asarray(batch["pt3d"]), jnp.asarray(batch["im_mask"]),
+        jnp.asarray(batch["pt_mask"]))
+    lists = dense_to_match_lists(
+        {"j_ids": out["j_ids"], "mconf": out["mconf"], "valid": out["valid"]},
+        max_matches)
+    lists = jax.device_get(lists)
+    loss_inputs = []
+    B = batch["image"].shape[0]
+    use_fine = "expec_f" in out
+    if use_fine:
+        expec_f = np.asarray(out["expec_f"])
+        M = out["j_ids"].shape[1]
+    for b in range(B):
+        valid = lists["valid"][b]
+        i_ids = lists["i_ids"][b][valid]
+        j_ids = lists["j_ids"][b][valid]
+        pt2d = np.asarray(batch["pt2d"][b])[i_ids]
+        if use_fine:
+            # Fine refinement of selected matches (dense mode: one per token).
+            ef = expec_f.reshape(B, M, 3)[b][i_ids]
+            pt2d = np.asarray(
+                model.fine_coords(jnp.asarray(ef), jnp.asarray(pt2d)))
+        pt3d = np.asarray(batch["pt3d"][b])[j_ids]
+        loss_inputs.append({
+            "pt2d": pt2d, "pt3d": pt3d,
+            "K": np.asarray(batch["K"][b]),
+            "c2w_gt": np.asarray(batch["c2w"][b]),
+        })
+    return compute_pose_metrics_host(loss_inputs, rthres=rthres, solver=solver)
+
+
+# ---------------------------------------------------------------------------
+# Train drivers
+# ---------------------------------------------------------------------------
+
+def init_config_odir(config, coarse: bool):
+    data = config.data
+    scene = data.scenes[0] if hasattr(data, "scenes") and len(data.scenes) == 1 \
+        else getattr(data, "scene", "all")
+    data_tag = f"{data.dataset}_{scene}_wh{data.img_wh[0]}-{data.img_wh[1]}"
+    mconf = config.model
+    model_tag = f"{mconf.backbone}" + ("_pre" if mconf.pretrained else "")
+    model_tag += f"_cf{getattr(mconf, 'coarse_layers', 0)}d{mconf.cfeat_dim}"
+    if not coarse:
+        model_tag += f"_f{getattr(mconf, 'ffeat_dim', 128)}w{getattr(mconf, 'win_sz', 5)}"
+    exp = config.exp
+    config.optim.max_epochs = exp.max_epochs
+    prefix = "debug" if getattr(exp, "debug", False) else getattr(exp, "prefix", "")
+    batch_tag = (f"g{config.gpu_num}clr{config.optim.clr}cbs{config.optim.cbs}"
+                 if getattr(config.optim, "adapt_lr", True)
+                 else f"lr{config.optim.lr}b{exp.batch_size}")
+    exp.name = "/".join(x for x in
+                        [prefix, data_tag, model_tag,
+                         f"{batch_tag}_ep{exp.max_epochs}"] if x)
+    exp.resume_version = getattr(exp, "resume_version", "version_0")
+    return Path(str(exp.odir)) / exp.name / exp.resume_version
+
+
+def _train_matcher(config, coarse: bool):
+    exp = config.exp
+    debug = bool(getattr(exp, "debug", False))
+    np.random.seed(exp.seed)
+    # The data axis must divide the global batch; shrink it if needed.
+    import math
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=math.gcd(n_dev, int(exp.batch_size)))
+    config.gpu_num = int(mesh.devices.size)
+
+    # Batch-size-adaptive LR.
+    if getattr(config.optim, "adapt_lr", True):
+        true_lr, _ = config_adaptive_lr(config)
+        config.optim.lr = true_lr
+    else:
+        config.optim.lr = config.optim.clr
+
+    run_dir = init_config_odir(config, coarse)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    mlog = MetricsLogger(run_dir)
+    mlog.log_text("config", str(namespace2dict(config)))
+    logger.info(f"Run dir: {run_dir}")
+
+    if coarse:
+        model = NeRFMatcherCoarse(CoarseMatcherConfig.from_namespace(config.model))
+    else:
+        model = NeRFMatcherMS(C2FMatcherConfig.from_namespace(config.model))
+    params = model.init_params(jax.random.PRNGKey(exp.seed))
+    if getattr(config.model, "coarse_ckpt", None) or \
+            getattr(config.model, "c2f_ckpt", None) or \
+            getattr(config.model, "finetune", None):
+        params = _load_pretrained(model, params, config.model)
+    params = replicate_params(params, mesh)
+
+    opt = init_optimizer(config.optim)
+    opt_state = opt.init(params)
+    lr_sched = make_lr_schedule(config.optim)
+
+    stepper = (CoarseTrainStep(model, opt) if coarse
+               else C2FTrainStep(model, opt))
+
+    train_loader = init_data_loader(config.data, exp.num_workers,
+                                    exp.batch_size, split="train")
+    val_loader = init_data_loader(config.data, exp.num_workers, split="val",
+                                  debug=debug)
+
+    start_epoch = 0
+    last = latest_checkpoint(run_dir / "checkpoints", name="last")
+    if last is not None:
+        params, opt_state, start_epoch, _ = load_checkpoint(last, params, opt_state)
+        logger.info(f"Resumed from {last} at epoch {start_epoch}")
+
+    key = jax.random.PRNGKey(exp.seed)
+    best_loss, best_tmed = np.inf, np.inf
+    rthres = getattr(config.model, "rthres", 1)
+    coarse_only_epochs = int(getattr(config.optim, "coarse_only_epochs", 0) or 0)
+    max_steps = 5 if debug else None
+
+    for epoch in range(start_epoch, exp.max_epochs):
+        if lr_sched is not None:
+            opt_state = set_lr(opt_state, lr_sched(epoch))
+        coarse_only = jnp.asarray(epoch < coarse_only_epochs)
+        agg = []
+        for i, batch in enumerate(train_loader):
+            if max_steps and i >= max_steps:
+                break
+            key, k = jax.random.split(key)
+            sb = shard_batch(_model_inputs(batch), mesh)
+            args = [params, opt_state, sb["image"], sb["pt_feat"], sb["pt3d"],
+                    sb["im_mask"], sb["pt_mask"], sb["conf_gt"]]
+            if not coarse:
+                args += [sb["pt2d"], sb["pt2d_proj"], k, coarse_only]
+            else:
+                args += [k]
+            params, opt_state, metrics = stepper.step(*args)
+            agg.append(float(metrics["loss"]))
+            if i % 50 == 0:
+                mlog.log_scalars(epoch * 100000 + i,
+                                 {k_: float(v) for k_, v in metrics.items()},
+                                 prefix="train/neum_")
+        logger.info(f"epoch {epoch}: loss={np.mean(agg):.4f} "
+                    f"lr={get_lr(opt_state):.2e}")
+
+        # Validation
+        if (epoch + 1) % getattr(exp, "check_epochs", 1) == 0:
+            val_losses, r_errs, t_errs = [], [], []
+            for vi, batch in enumerate(val_loader):
+                if debug and vi >= 2:
+                    break
+                pose_m = eval_batch_pose(model, params, _model_inputs(batch),
+                                         rthres=rthres)
+                r_errs += pose_m["R_err"]
+                t_errs += pose_m["t_err"]
+            t_arr = np.asarray(t_errs, np.float64)
+            r_arr = np.asarray(r_errs, np.float64)
+            tmed = float(np.median(t_arr)) if len(t_arr) else np.inf
+            val_m = {
+                "tmed": tmed,
+                "Rmed": float(np.median(r_arr)) if len(r_arr) else np.inf,
+                "tmean": float(np.mean(t_arr[~np.isinf(t_arr)])) if len(t_arr) else np.inf,
+            }
+            mlog.log_scalars(epoch, val_m, prefix="hp/neum_")
+            logger.info(f"epoch {epoch}: val {val_m}")
+
+            mean_loss = float(np.mean(agg)) if agg else np.inf
+            if mean_loss < best_loss:
+                best_loss = mean_loss
+                save_checkpoint(run_dir / "checkpoints", epoch + 1, params,
+                                opt_state, config, name="best", keep=1)
+            if tmed < best_tmed:
+                best_tmed = tmed
+                save_checkpoint(run_dir / "checkpoints", epoch + 1, params,
+                                opt_state, config, name="best_tmed", keep=1)
+        save_checkpoint(run_dir / "checkpoints", epoch + 1, params, opt_state,
+                        config, name="last", keep=1)
+    mlog.close()
+    return config, params
+
+
+def _model_inputs(batch):
+    """Select + cast model-facing arrays from a collated sample batch."""
+    out = {}
+    for k in ["image", "pt_feat", "pt3d", "im_mask", "pt_mask", "conf_gt",
+              "pt2d", "pt2d_proj", "K", "c2w"]:
+        if k in batch:
+            v = np.asarray(batch[k])
+            if v.dtype == bool:
+                v = v.astype(np.float32)
+            out[k] = v
+    return out
+
+
+def _load_pretrained(model, params, model_conf):
+    """Warm-start from reference torch ckpts or native ckpts (key surgery of
+    ``nerfmatch_c2f_trainer.py:45-74``)."""
+    from .checkpoint import convert_torch_params, load_torch_state_dict
+
+    ckpt = (getattr(model_conf, "c2f_ckpt", None)
+            or getattr(model_conf, "finetune", None)
+            or getattr(model_conf, "coarse_ckpt", None))
+    if not ckpt or not Path(ckpt).exists():
+        return params
+    state, _ = load_torch_state_dict(ckpt)
+    is_coarse_ckpt = ckpt == getattr(model_conf, "coarse_ckpt", None)
+    # Coarse ckpts store the bare timm backbone; the MS model nests it
+    # under .model (reference remap "backbone"->"backbone.model").
+    extra = "" if not is_coarse_ckpt else ""
+    new_params, missing = convert_torch_params(params, state,
+                                               backbone_extra=extra)
+    logger.info(f"Loaded pretrained {ckpt}; {len(missing)} leaves missing")
+    return new_params
+
+
+def train_coarse(config):
+    return _train_matcher(config, coarse=True)
+
+
+def train_c2f(config):
+    return _train_matcher(config, coarse=False)

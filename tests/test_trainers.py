@@ -1,0 +1,163 @@
+"""End-to-end trainer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from nerfmatch_tpu.config import dict2namespace
+from tests._synthetic import build_scene, W, H, DS, N_PTS, FEAT_DIM
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return build_scene(tmp_path_factory.mktemp("trainer_scene"),
+                       correlated_feats=True)
+
+
+def nerf_train_config(scene, odir):
+    return dict2namespace({
+        "data": {
+            "dataset": "NerfBaseDataset",
+            "data_dir": str(scene["root"]),
+            "scene": "toy",
+            "img_wh": [W, H],
+            "ray_type": "mip",
+            "max_frustum_depth": 1,
+            "rescale_factor": 1.0,
+            "snorm_type": "fst",
+        },
+        "optim": {
+            "optimizer": "adam", "lr": 2e-3, "weight_decay": 0.0,
+            "lr_scheduler": "cosine",
+        },
+        "coarse_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                        "output_dim": 4, "skips": [1], "num_pts": 8},
+        "fine_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                      "output_dim": 4, "skips": [1], "num_pts": 8},
+        "embedding": {"xyz_num_freqs": 8, "dirs_num_freqs": 4, "type": "mip"},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": True, "white_bg": False, "noise_std": 0.0},
+        "loss": {"ray_reg_weight": 0.01},
+        "exp": {"seed": 1, "odir": str(odir), "prefix": "t", "num_workers": 0,
+                "max_epochs": 2, "check_epochs": 1, "batch_size": 512,
+                "debug": True, "log_num_max": 1, "log_step": 5},
+    })
+
+
+def test_nerf_train_loop_and_resume(scene, tmp_path):
+    from nerfmatch_tpu.train import nerf_trainer
+
+    cfg = nerf_train_config(scene, tmp_path)
+    out_cfg, params = nerf_trainer.train(cfg)
+    # Checkpoints exist.
+    from nerfmatch_tpu.train.checkpoint import latest_checkpoint
+    run_dir = nerf_trainer.init_config_odir(out_cfg)
+    last = latest_checkpoint(run_dir / "checkpoints", name="last")
+    assert last is not None and last.name == "last_2"
+    # Resume: continues at epoch 2 (no-op since max_epochs reached).
+    cfg2 = nerf_train_config(scene, tmp_path)
+    out2, params2 = nerf_trainer.train(cfg2)
+    p = np.asarray(params2["nerf_fine"]["pts_linears"][0]["weight"])
+    assert np.all(np.isfinite(p))
+
+
+def test_nerf_training_reduces_loss(scene, tmp_path):
+    """Non-debug check: the sharded train step actually learns."""
+    import jax
+    from nerfmatch_tpu.train.nerf_trainer import NerfTrainer
+    from nerfmatch_tpu.parallel.mesh import make_mesh, shard_batch
+    from nerfmatch_tpu.data import init_data_loader
+
+    cfg = nerf_train_config(scene, tmp_path)
+    ds = init_data_loader(cfg.data, 0, 1, split="train").dataset
+    mesh = make_mesh()  # 8 CPU devices
+    trainer = NerfTrainer(cfg, num_frames=1, mesh=mesh)
+    params, opt_state = trainer.init_state(0)
+    step = trainer.train_step_fn()
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    losses = []
+    import jax.numpy as jnp
+    for i, batch in enumerate(ds.ray_batches(512, rng)):
+        if i >= 30:
+            break
+        key, k = jax.random.split(key)
+        sb = shard_batch(batch, mesh)
+        params, opt_state, m = step(params, opt_state, sb["rays"], sb["rgbs"],
+                                    sb["ts"].astype(jnp.int32), k)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def matcher_config(scene, odir, coarse=True):
+    model = {
+        "backbone": "tiny", "pretrained": False, "cfeat_dim": 32,
+        "pt_dim": FEAT_DIM, "im_pe": True, "im_sa": 0, "im_sa_type": None,
+        "pt_sa": 0, "pt_sa_type": None, "pt_pe": False, "coarse_layers": 0,
+        "temp_type": "mul", "rthres": 6,
+    }
+    if not coarse:
+        model.update({"ffeat_dim": 16, "fine_sa": 1, "fsa_type": "full",
+                      "win_sz": 5, "cat_c_feat": True, "fine_loss": "match",
+                      "coarse_percent": 0.3, "coarse_dthres": 20})
+    return dict2namespace({
+        "data": {
+            "dataset": "NeRFMatchPair",
+            "data_dir": str(scene["root"]),
+            "scenes": ["toy"],
+            "scene": "toy",
+            "scene_dir": str(scene["cache_dir"]),
+            "train_pair_txt": str(scene["root"] / "pairs.txt"),
+            "test_pair_txt": str(scene["root"] / "pairs.txt"),
+            "pair_topk": 2,
+            "img_wh": [W, H],
+            "model_ds": DS,
+            "imagenet_norm": False,
+            "balanced_pair": False,
+        },
+        "model": model,
+        "optim": {"optimizer": "adam", "adapt_lr": True, "clr": 1e-3,
+                  "cbs": 4, "weight_decay": 0.0, "lr_scheduler": "cosine",
+                  "coarse_only_epochs": 1 if not coarse else 0},
+        "exp": {"seed": 2, "odir": str(odir), "prefix": "t", "num_workers": 0,
+                "max_epochs": 2, "check_epochs": 1, "batch_size": 2,
+                "debug": True},
+    })
+
+
+def test_coarse_matcher_train_loop(scene, tmp_path):
+    from nerfmatch_tpu.train.matcher_trainer import train_coarse
+
+    cfg = matcher_config(scene, tmp_path, coarse=True)
+    out_cfg, params = train_coarse(cfg)
+    assert np.isfinite(np.asarray(params["temperature"]))
+    # Adaptive LR rule applied: clr * (gpu_num * bs) / cbs.
+    assert out_cfg.optim.lr == pytest.approx(
+        1e-3 * out_cfg.gpu_num * 2 / 4)
+
+
+def test_c2f_matcher_train_loop(scene, tmp_path):
+    from nerfmatch_tpu.train.matcher_trainer import train_c2f
+
+    cfg = matcher_config(scene, tmp_path, coarse=False)
+    out_cfg, params = train_c2f(cfg)
+    w = np.asarray(params["pt_ffeat_proj"][0]["weight"])
+    assert np.all(np.isfinite(w))
+
+
+def test_eval_batch_pose_shapes(scene):
+    """Host PnP val path produces per-sample errors."""
+    import jax
+    from nerfmatch_tpu.models.matcher_coarse import NeRFMatcherCoarse, \
+        CoarseMatcherConfig
+    from nerfmatch_tpu.train.matcher_trainer import eval_batch_pose, _model_inputs
+    from nerfmatch_tpu.data import NeRFMatchPair
+
+    cfg = matcher_config(scene, scene["root"], coarse=True)
+    ds = NeRFMatchPair(cfg.data, split="val", val_num=4)
+    model = NeRFMatcherCoarse(CoarseMatcherConfig.from_namespace(cfg.model))
+    params = model.init_params(jax.random.PRNGKey(0))
+    from nerfmatch_tpu.data.loaders import _collate
+    batch = _collate([ds[0]])
+    out = eval_batch_pose(model, params, _model_inputs(batch), rthres=6)
+    assert len(out["R_err"]) == 1
+    assert np.isfinite(out["R_err"][0]) or np.isinf(out["R_err"][0])
