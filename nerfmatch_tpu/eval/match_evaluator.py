@@ -1,0 +1,479 @@
+"""NeRFMatch localization evaluator.
+
+Capability match for ``nerfmatch/nerfmatch_evaluator.py``: loads a matcher
+ckpt (auto coarse-vs-c2f by ``ffeat_dim`` presence), per-query localization
+(optional on-the-fly NeRF render at the current pose estimate -> match ->
+host PnP), iterative refinement (``iters``), retrieval-only / query2query /
+match-oracle ablation modes, iNeRF gradient pose refinement (see
+:mod:`.inerf`), wall-clock timers, the multi-scene driver with tag-keyed
+result caches and recall/AUC summaries.
+
+Device/host split: matching runs as one jitted program on TPU; only the
+final fixed-size top-k match lists transfer to the host for the C++ PnP
+solver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import Namespace
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import merge_configs
+from ..data import init_data_loader
+from ..data.loaders import init_mixed_dataset, init_multiscene_dataset, DataLoader
+from ..models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
+from ..models.matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
+from ..ops.matching import dense_to_match_lists
+from ..utils import Timers, get_logger
+from ..utils.geometry import pose_err
+from ..utils.metrics import POSE_THRES, average_pose_metrics, \
+    summarize_pose_statis
+from ..pose import estimate_pose
+from ..train.checkpoint import convert_torch_params, load_checkpoint, \
+    load_torch_state_dict
+from .nerf_evaluator import load_nerf_render_from_ckpt
+
+logger = get_logger(level="INFO", name="nerfmatch_eval")
+
+
+def update_paths(conf, root_dir):
+    conf.data_dir = os.path.join(root_dir, conf.data_dir)
+    conf.scene_dir = os.path.join(root_dir, conf.scene_dir)
+    conf.train_pair_txt = os.path.join(root_dir, conf.train_pair_txt)
+    conf.test_pair_txt = os.path.join(root_dir, conf.test_pair_txt)
+
+
+def parse_nerf_stop_layer(scene_dir: str) -> int:
+    """Feature layer from the scene-dir tag (``.../inter_layer3/...``)."""
+    parts = str(scene_dir).split("inter_layer")
+    if len(parts) == 2:
+        return int(parts[1].split("/")[0])
+    return -1
+
+
+def load_nerfmatch_from_ckpt(ckpt_path, args=None, root_dir: str = ".",
+                             arg_mask=None):
+    """Build a NeRFMatchEvaluator from a torch Lightning or native ckpt."""
+    ckpt_path = str(ckpt_path)
+    if (Path(ckpt_path) / "meta.json").exists():
+        _, _, _, config = load_checkpoint(Path(ckpt_path), None)
+        state = None
+    else:
+        state, hparams = load_torch_state_dict(ckpt_path)
+        config = Namespace(**hparams)
+    config.ckpt = ckpt_path
+
+    if getattr(config.data, "datasets", None):
+        for _, dt_config in vars(config.data.datasets).items():
+            update_paths(dt_config, root_dir)
+    else:
+        update_paths(config.data, root_dir)
+
+    if args:
+        config = merge_configs(config, args)
+        if getattr(args, "img_wh", None):
+            config.data.img_wh = config.img_wh
+        if getattr(args, "pair_topk", None):
+            config.data.pair_topk = args.pair_topk
+        if getattr(args, "scene_dir", None):
+            config.data.scene_dir = args.scene_dir
+        if getattr(args, "scene", None):
+            config.data.scenes = [args.scene]
+        if arg_mask == "no mask":
+            config.data.use_msk = False
+        elif arg_mask not in (None, "default"):
+            config.data.use_msk = arg_mask
+
+    evaluator = NeRFMatchEvaluator(config)
+    if state is not None:
+        params, missing = convert_torch_params(
+            evaluator.params, state,
+            backbone_extra="model." if not evaluator.coarse_only else "")
+        evaluator.params = params
+        if missing:
+            logger.warning(f"{len(missing)} params missing (e.g. {missing[:3]})")
+    else:
+        template = evaluator.params
+        evaluator.params, _, _, _ = load_checkpoint(Path(ckpt_path), template)
+    return evaluator
+
+
+class NeRFMatchEvaluator:
+    def __init__(self, config, data_loader=None, params=None):
+        self.config = config
+        self.seed = config.exp.seed
+        model_conf = config.model
+        # coarse-vs-c2f auto-detection by ffeat_dim presence (:128-133).
+        if not hasattr(model_conf, "ffeat_dim"):
+            self.model = NeRFMatcherCoarse(
+                CoarseMatcherConfig.from_namespace(model_conf))
+            self.coarse_only = True
+        else:
+            self.model = NeRFMatcherMS(
+                C2FMatcherConfig.from_namespace(model_conf))
+            self.coarse_only = False
+        self.params = params if params is not None else \
+            self.model.init_params(jax.random.PRNGKey(0))
+
+        self.data_loader = data_loader
+        if data_loader is None and hasattr(config.data, "dataset"):
+            try:
+                self.data_loader = init_data_loader(
+                    config.data, split=getattr(config, "split", "test"))
+            except Exception as e:  # dataset dirs may not exist at init
+                logger.warning(f"Deferred data loading: {e}")
+
+        ckpt = str(getattr(config, "ckpt", "eval"))
+        self.cache_dir = Path(ckpt.replace("checkpoints/", "")
+                              .replace(".ckpt", "_eval_results"))
+        self.timer = defaultdict(list)
+        self.max_matches = int(getattr(config, "max_matches", 2048))
+
+    # ------------------------------------------------------------------
+    def _extract_matches_host(self, batch, mutual, match_thres):
+        """Run the matcher -> host-side (pt2d, pt3d) correspondences.
+
+        Handles both single-pair (pt3d (B,N,3)) and multi-pair (B,K,N,3)
+        layouts; returns concatenated matches for batch item 0 (eval bs=1).
+        """
+        img = jnp.asarray(batch["image"])
+        pt3d = np.asarray(batch["pt3d"])
+        pt_feat = jnp.asarray(batch["pt_feat"])
+        im_mask = jnp.asarray(np.asarray(batch["im_mask"], np.float32))
+        pt_mask = jnp.asarray(np.asarray(batch["pt_mask"], np.float32))
+        pt2d = np.asarray(batch["pt2d"])[0]
+
+        multi = pt3d.ndim == 4
+        t0 = time.perf_counter()
+        if multi:
+            K_pairs = pt3d.shape[1]
+            outs = self.model.forward_multi_pair(
+                self.params, img, pt_feat, jnp.asarray(pt3d),
+                im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
+                match_thres=match_thres) if self.coarse_only else None
+            if not self.coarse_only:
+                # c2f multi-pair: loop pairs on host (bounded by topk).
+                all2d, all3d = [], []
+                for k in range(K_pairs):
+                    sub = {
+                        "image": batch["image"],
+                        "pt3d": pt3d[:, k],
+                        "pt_feat": np.asarray(batch["pt_feat"])[:, k],
+                        "im_mask": np.asarray(batch["im_mask"]),
+                        "pt_mask": np.asarray(batch["pt_mask"])[:, k],
+                        "pt2d": batch["pt2d"],
+                    }
+                    p2, p3 = self._extract_matches_host(sub, mutual, match_thres)
+                    all2d.append(p2)
+                    all3d.append(p3)
+                self.timer["match_time"].append(
+                    (time.perf_counter() - t0) / K_pairs)
+                return np.concatenate(all2d), np.concatenate(all3d)
+            # coarse multi-pair: outs stacked (K, B, M)
+            outs = jax.device_get(outs)
+            all2d, all3d = [], []
+            for k in range(K_pairs):
+                lists = dense_to_match_lists(
+                    {kk: jnp.asarray(outs[kk][k]) for kk in
+                     ("j_ids", "mconf", "valid")}, self.max_matches)
+                lists = jax.device_get(lists)
+                valid = lists["valid"][0]
+                all2d.append(pt2d[lists["i_ids"][0][valid]])
+                all3d.append(pt3d[0, k][lists["j_ids"][0][valid]])
+            self.timer["match_time"].append((time.perf_counter() - t0) / K_pairs)
+            return np.concatenate(all2d), np.concatenate(all3d)
+
+        out = self.model.forward_match(
+            self.params, img, pt_feat, jnp.asarray(pt3d), im_mask=im_mask,
+            pt_mask=pt_mask, mutual=mutual, match_thres=match_thres)
+        lists = dense_to_match_lists(
+            {k: out[k] for k in ("j_ids", "mconf", "valid")}, self.max_matches)
+        lists = jax.device_get(lists)
+        self.timer["match_time"].append(time.perf_counter() - t0)
+        valid = lists["valid"][0]
+        i_ids = lists["i_ids"][0][valid]
+        j_ids = lists["j_ids"][0][valid]
+        mpt2d = pt2d[i_ids]
+        if not self.coarse_only:
+            M = out["j_ids"].shape[1]
+            expec = np.asarray(out["expec_f"]).reshape(-1, M, 3)[0][i_ids]
+            mpt2d = np.asarray(self.model.fine_coords(
+                jnp.asarray(expec), jnp.asarray(mpt2d)))
+        return mpt2d, pt3d[0][j_ids]
+
+    # ------------------------------------------------------------------
+    def eval_match_pose(self, batch, mutual: bool = True,
+                        match_thres: float = 0.0, solver: str = "colmap",
+                        rthres: float = 1.0, center_subpixel: bool = False,
+                        match_oracle: bool = False):
+        """Match + PnP -> (c2w_est, R_err, t_err, num_matches)."""
+        K = np.asarray(batch["K"])[0]
+        c2w_gt = np.asarray(batch["c2w"])[0]
+
+        if match_oracle:
+            conf_gt = np.asarray(batch["conf_gt"])[0]
+            i2d, i3d = np.where(conf_gt)
+            pt3d = np.asarray(batch["pt3d"])[0].reshape(-1, 3)[i3d]
+            if not self.coarse_only and "pt2d_proj" in batch:
+                pt2d = np.asarray(batch["pt2d_proj"])[0][i3d]
+            else:
+                pt2d = np.asarray(batch["pt2d"])[0][i2d]
+        else:
+            pt2d, pt3d = self._extract_matches_host(batch, mutual, match_thres)
+
+        if center_subpixel:
+            pt2d = pt2d + np.array([[0.5, 0.5]])
+        solver_name = {"colmap": "native", "cv2": "cv", "cv": "cv",
+                       "native": "native"}[solver]
+        res = estimate_pose(pt2d, pt3d, K, ransac_thres=rthres,
+                            solver=solver_name)
+        if res is None:
+            return None, float("inf"), float("inf"), len(pt2d)
+        R, t, _ = res
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = t
+        c2w_est = np.linalg.inv(w2c)
+        r_err, t_err = pose_err(jnp.asarray(c2w_est, jnp.float32),
+                                jnp.asarray(c2w_gt, jnp.float32))
+        return c2w_est, float(r_err), float(t_err), len(pt2d)
+
+    # ------------------------------------------------------------------
+    def eval_batch(self, batch, renderer=None, renderer_params=None,
+                   inerf_conf=None, iters: int = 1, mutual: bool = True,
+                   match_thres: float = 0.0, match_oracle: bool = False,
+                   solver: str = "colmap", rthres: float = 1.0,
+                   center_subpixel: bool = False, query2query: bool = False,
+                   retrieval_only: bool = False, cached_pt: bool = True,
+                   cache_iters: bool = False, debug: bool = False):
+        """Per-query localization with optional iterative re-rendering."""
+        K = np.asarray(batch["K"])[0]
+        if "unnorm_scene" in batch:
+            unnorm_scene = np.asarray(batch["unnorm_scene"])[0]
+        else:
+            unnorm_scene = renderer.unnorm_scene
+
+        iter_t_errs, iter_R_errs = [], []
+        ts = time.perf_counter()
+        H, W = batch["image"].shape[1:3]
+
+        if query2query:
+            c2w_est = np.asarray(batch["c2w"])[0]
+        elif (not cached_pt) or retrieval_only:
+            c2w_est = np.asarray(batch["rc2w"])[0]
+        else:
+            c2w_est = None
+
+        num_matches = 0
+        R_err = t_err = float("inf")
+        for itr in range(iters):
+            if retrieval_only:
+                R_err, t_err = map(float, pose_err(
+                    jnp.asarray(np.asarray(batch["c2w"])[0], jnp.float32),
+                    jnp.asarray(c2w_est, jnp.float32)))
+            else:
+                if c2w_est is not None:
+                    # Re-render scene points at the current pose estimate.
+                    outs = renderer.render_novel_view(
+                        renderer_params, (H, W), K, c2w_est, unnorm_scene,
+                        downsample=8)
+                    batch = dict(batch)
+                    batch["pt3d"] = outs["pt3d"][None]
+                    batch["pt_feat"] = np.asarray(outs["pt_feat"])[None]
+                    batch["pt_mask"] = np.ones(outs["pt3d"].shape[:1],
+                                               np.float32)[None]
+                c2w_est, R_err, t_err, num_matches = self.eval_match_pose(
+                    batch, mutual=mutual, match_thres=match_thres,
+                    solver=solver, rthres=rthres,
+                    center_subpixel=center_subpixel, match_oracle=match_oracle)
+                if inerf_conf and cache_iters:
+                    iter_t_errs.append(t_err)
+                    iter_R_errs.append(R_err)
+
+            if c2w_est is not None and inerf_conf:
+                from .inerf import inerf_refinement
+
+                res = inerf_refinement(
+                    self, batch, renderer, renderer_params, unnorm_scene,
+                    c2w_est, inerf_conf, mutual=mutual,
+                    match_thres=match_thres, solver=solver, rthres=rthres,
+                    cache_iters=cache_iters, iter_t_errs=iter_t_errs,
+                    iter_R_errs=iter_R_errs, debug=debug)
+                if np.isfinite(res[1]):
+                    c2w_est, R_err, t_err = res
+
+            if cache_iters:
+                iter_t_errs.append(t_err)
+                iter_R_errs.append(R_err)
+            if debug:
+                logger.info(f">> iter={itr} matches={num_matches} "
+                            f"t={t_err * 100:.3f}cm R={R_err:.3f}")
+
+        self.timer["localize_time"].append(time.perf_counter() - ts)
+        return dict(R_err=[R_err], t_err=[t_err], num_matches=[num_matches],
+                    iter_t_errs=iter_t_errs, iter_R_errs=iter_R_errs)
+
+    # ------------------------------------------------------------------
+    def eval_data_loader(self, renderer=None, renderer_params=None,
+                         iters: int = 1, rthres: float = 1.0,
+                         center_subpixel: bool = False, solver: str = "colmap",
+                         mutual: bool = True, match_thres: float = 0.0,
+                         match_oracle: bool = False, data_loader=None,
+                         query2query: bool = False, cached_pt: bool = True,
+                         debug: bool = False, inerf_conf=None,
+                         retrieval_only: bool = False,
+                         cache_iters: bool = False):
+        data_loader = data_loader or self.data_loader
+        metrics = defaultdict(list)
+        for i, batch in enumerate(data_loader):
+            im = self.eval_batch(
+                batch, renderer, renderer_params, inerf_conf, iters=iters,
+                rthres=rthres, center_subpixel=center_subpixel, solver=solver,
+                mutual=mutual, match_thres=match_thres,
+                match_oracle=match_oracle, query2query=query2query,
+                retrieval_only=retrieval_only, cached_pt=cached_pt,
+                cache_iters=cache_iters, debug=debug)
+            for k in ["R_err", "t_err", "num_matches", "iter_t_errs",
+                      "iter_R_errs"]:
+                if k in im and len(im[k]):
+                    metrics[k].append(np.asarray(im[k]))
+            if debug:
+                logger.info(f"{i} t={im['t_err'][0] * 100:.1f}cm "
+                            f"r={im['R_err'][0]:.3f}deg")
+                if i >= 5:
+                    break
+        for k in list(metrics.keys()):
+            try:
+                if "iter" in k:
+                    metrics[k] = np.stack(metrics[k])
+                else:
+                    metrics[k] = np.concatenate(metrics[k]).squeeze()
+            except ValueError:
+                pass
+        return dict(metrics)
+
+    # ------------------------------------------------------------------
+    def eval_multi_scenes(self, split: str = "test", rthres: float = 1.0,
+                          center_subpixel: bool = False,
+                          solver: str = "colmap", mutual: bool = True,
+                          match_thres: float = 0.0, iters: int = 1,
+                          nerf_path=None, inerf_conf=None,
+                          test_pair_txt=None, scene_dir=None,
+                          ow_cache: bool = False, data_conf=None,
+                          query2query: bool = False, cached_pt: bool = True,
+                          stop_layer: int = -1, debug: bool = False,
+                          cache_dir=None, cache_iters: bool = False,
+                          retrieval_only: bool = False,
+                          match_oracle: bool = False, seed=None):
+        """Scene loop with tag-keyed result caching + cross-scene averages."""
+        if cache_dir:
+            self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+        conf = self.config.data
+        if data_conf is not None:
+            conf = merge_configs(conf, data_conf)
+        if test_pair_txt:
+            conf.test_pair_txt = test_pair_txt
+        if scene_dir:
+            conf.scene_dir = scene_dir
+
+        if hasattr(conf, "datasets"):
+            datasets = init_mixed_dataset(conf, split=split, concat=False)
+        else:
+            datasets = init_multiscene_dataset(conf, split=split, concat=False)
+
+        metr_all = []
+        for dataset in datasets:
+            if seed is not None:
+                np.random.seed(seed)
+            self.timer = defaultdict(list)
+            cache_path = self._cache_tag(
+                dataset, split, rthres, mutual, match_thres, solver,
+                center_subpixel, retrieval_only, inerf_conf, iters, conf,
+                test_pair_txt, cached_pt, query2query, cache_iters,
+                match_oracle, debug)
+            logger.info(f"Cache path: {cache_path}")
+            if os.path.exists(cache_path) and not ow_cache:
+                metrics = np.load(cache_path, allow_pickle=True).item()
+            else:
+                loader = DataLoader(dataset, batch_size=1, shuffle=False)
+                renderer = renderer_params = None
+                if (not cached_pt) or query2query or (iters > 1) or inerf_conf:
+                    sl = stop_layer if stop_layer > 0 else \
+                        parse_nerf_stop_layer(dataset.scene_dir)
+                    nerf_ckpt = str(nerf_path).replace(
+                        "$scene", dataset.scene).replace("#scene", dataset.scene)
+                    renderer, renderer_params = load_nerf_render_from_ckpt(
+                        nerf_ckpt, stop_layer=sl)
+                metrics = self.eval_data_loader(
+                    renderer=renderer, renderer_params=renderer_params,
+                    iters=iters, rthres=rthres,
+                    center_subpixel=center_subpixel, solver=solver,
+                    mutual=mutual, match_thres=match_thres,
+                    match_oracle=match_oracle, data_loader=loader,
+                    query2query=query2query, cached_pt=cached_pt, debug=debug,
+                    inerf_conf=inerf_conf, retrieval_only=retrieval_only,
+                    cache_iters=cache_iters)
+                for k, v in self.timer.items():
+                    metrics[k] = np.asarray(v)
+                np.save(cache_path, metrics)
+
+            thres = POSE_THRES.get(dataset.scene, [(5, 5)])
+            metr = summarize_pose_statis(metrics, pose_thres=thres,
+                                         t_unit="cm", t_scale=1e2)
+            metr_all.append(metr)
+
+        if metr_all:
+            return average_pose_metrics(metr_all), metr_all
+        return None, []
+
+    def _cache_tag(self, dataset, split, rthres, mutual, match_thres, solver,
+                   center_subpixel, retrieval_only, inerf_conf, iters, conf,
+                   test_pair_txt, cached_pt, query2query, cache_iters,
+                   match_oracle, debug):
+        """Reproduce the reference's tag-keyed result cache naming."""
+        path = str(self.cache_dir / f"{dataset.scene}_rth{rthres:.0f}{split}.npy")
+        if self.coarse_only:
+            path = path.replace(".npy", "_coarse.npy")
+        if not mutual:
+            path = path.replace(".npy", "_no_mutual.npy")
+        if match_thres > 0:
+            path = path.replace(".npy", f"_sc{match_thres:.2f}.npy")
+        if solver != "cv":
+            path = path.replace(".npy", f"_{solver}.npy")
+        if center_subpixel:
+            path = path.replace(".npy", "_subpx.npy")
+        if retrieval_only:
+            path = path.replace(".npy", "_IR.npy")
+        if inerf_conf:
+            num_optim = getattr(inerf_conf, "num_optim", 5)
+            lrate = getattr(inerf_conf, "lrate", 0.001)
+            ds = getattr(inerf_conf, "ds", 8)
+            tag = f"_itr{iters}ds{ds}inerf{num_optim}lr{lrate}"
+            tag += "lrdcos" if getattr(inerf_conf, "lrdecay", False) else ""
+            tag += "pose" if getattr(inerf_conf, "eval_pose", False) else "match"
+            path = path.replace(".npy", f"{tag}.npy")
+        else:
+            path = path.replace(".npy", f"_itr{iters}.npy")
+        if getattr(conf, "dataset", "") == "NeRFMatchMultiPair":
+            path = path.replace(
+                ".npy", f"_top{conf.pair_topk}pt{getattr(conf, 'sample_pts', -1)}.npy")
+        if not cached_pt:
+            path = path.replace(".npy", "_nocache.npy")
+        if query2query:
+            path = path.replace(".npy", ".query2query.npy")
+        if cache_iters:
+            path = path.replace(".npy", ".itercache.npy")
+        if match_oracle:
+            path = path.replace(".npy", ".match_oracle.npy")
+        if debug:
+            path = path.replace(".npy", ".debug.npy")
+        return path

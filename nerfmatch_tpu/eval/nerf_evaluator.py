@@ -1,0 +1,311 @@
+"""NeRF evaluation runtime.
+
+Capability match for ``nerfmatch/nerf_evaluator.py``: checkpoint loaders that
+rebuild the renderer from config-in-checkpoint (both the reference's torch
+Lightning ckpts — via the checkpoint bridge — and our native orbax ckpts),
+appearance-vocab inference from state-dict shapes, scene-normalization
+recomputation from the train json, the test-split image-rendering loop with
+PSNR + png caching, and the **scene-point feature cache** pipeline
+(``cache_scene_pts``, reference :308-402) that renders every view at ds=8 and
+writes ``{pt3d, unnorm_scene, pt_feat, pt_color[, cam2scene]}`` per frame —
+the interface contract consumed by the matcher stage (``load_frame_3d``).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import Namespace
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import merge_configs
+from ..data import init_data_loader
+from ..nerf.renderer import NerfRenderer
+from ..nerf.scene import compute_scene_normalization_fst
+from ..nerf.rays import get_ray_dirs, get_rays_c2w, prepare_rays_data
+from ..utils import get_logger
+from ..utils.metrics import compute_nerf_metrics
+from ..train.checkpoint import (
+    convert_torch_params,
+    infer_appearance_vocab,
+    load_checkpoint,
+    load_torch_state_dict,
+)
+
+logger = get_logger(level="INFO", name="nerf_eval")
+
+
+def img2int8(img):
+    return (255 * np.clip(np.asarray(img), 0, 1)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading
+# ---------------------------------------------------------------------------
+
+def _is_native_ckpt(path) -> bool:
+    return (Path(path) / "meta.json").exists()
+
+
+def load_renderer_params(ckpt_path, stop_layer: int = -1, config=None):
+    """Load a NeRF renderer + params from a torch Lightning or native ckpt.
+
+    Returns (renderer, params, config).
+    """
+    ckpt_path = str(ckpt_path)
+    if _is_native_ckpt(ckpt_path):
+        _, _, _, cfg = load_checkpoint(Path(ckpt_path), None)
+        cfg = config or cfg
+        vocab = None
+        if getattr(cfg.embedding, "appearance_embed", False):
+            vocab = 10_000  # template overridden by stored shapes on restore
+        renderer = NerfRenderer(cfg, num_frames=vocab, stop_layer=stop_layer)
+        template = renderer.init_params(jax.random.PRNGKey(0))
+        params, _, _, _ = load_checkpoint(Path(ckpt_path), template)
+        return renderer, params, cfg
+
+    state, hparams = load_torch_state_dict(ckpt_path)
+    cfg = config or Namespace(**hparams)
+    vocab = infer_appearance_vocab(state)
+    renderer = NerfRenderer(cfg, num_frames=vocab, stop_layer=stop_layer)
+    template = renderer.init_params(jax.random.PRNGKey(0))
+    params, missing = convert_torch_params(template, state)
+    if missing:
+        logger.warning(f"{len(missing)} params missing from ckpt "
+                       f"(e.g. {missing[:3]})")
+    return renderer, params, cfg
+
+
+def load_scene_normalization(config, root_dir: str = "."):
+    """Recompute the fst scene normalization from the train json
+    (reference ``nerf_evaluator.py:99-116``).  Returns unnorm matrix."""
+    assert getattr(config, "snorm_type", "fst") == "fst"
+    if getattr(config, "scene_anno_path", None):
+        train_json = Path(config.scene_anno_path
+                          .replace("#scene", config.scene)
+                          .replace("#split", "train"))
+    else:
+        train_json = Path(config.data_dir) / config.scene / "transforms_train.json"
+    scene2s = compute_scene_normalization_fst(
+        Path(root_dir) / train_json, config.max_frustum_depth,
+        config.rescale_factor)
+    return np.linalg.inv(scene2s)
+
+
+def load_nerf_render_from_ckpt(ckpt_path, stop_layer: int = -1):
+    """(renderer, params) with ``renderer.unnorm_scene`` attached."""
+    renderer, params, cfg = load_renderer_params(ckpt_path, stop_layer)
+    renderer.unnorm_scene = load_scene_normalization(cfg.data)
+    return renderer, params
+
+
+def load_nerf_from_ckpt(ckpt_path, args=None, root_dir: str = ".",
+                        mask: bool = False, frame_num: int = -1,
+                        seq: bool = False):
+    """Build a NerfEvaluator from a checkpoint, applying the reference's
+    config rewrites (data-dir root, img_wh/downsample overrides, test split
+    gets the full dataset)."""
+    stop_layer = getattr(args, "stop_layer", -1) if args else -1
+    renderer, params, config = load_renderer_params(ckpt_path, stop_layer)
+    config.ckpt = str(ckpt_path)
+    config.data.data_dir = os.path.join(root_dir, config.data.data_dir)
+    if args:
+        if getattr(args, "scene_anno_path", None):
+            config.data.scene_anno_path = args.scene_anno_path
+        if getattr(args, "snorm_json", None):
+            config.data.snorm_json = args.snorm_json
+        config = merge_configs(config, args)
+        if getattr(args, "img_wh", None):
+            config.data.img_wh = config.img_wh
+        if hasattr(config, "downsample"):
+            config.data.downsample = config.downsample
+        if hasattr(args, "mip_var_scale"):
+            config.embedding.mip_var_scale = args.mip_var_scale
+    if not seq:
+        config.data.scene_seq = None
+    if getattr(config, "split", "test") != "train":
+        config.data.max_sample_num = None
+    if mask:
+        config.data.mask_transient = True
+        config.data.white_bg = True
+    return NerfEvaluator(config, renderer, params, frame_num=frame_num)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+class NerfEvaluator:
+    def __init__(self, config, renderer: NerfRenderer, params,
+                 frame_num: int = -1):
+        self.config = config
+        self.renderer = renderer
+        self.params = params
+        self.seed = config.exp.seed
+        if frame_num > 0:
+            config.data.max_sample_num = frame_num
+
+        self.split = getattr(config, "split", "test")
+        self.data_loader = init_data_loader(
+            config.data, num_workers=1, split=self.split)
+
+        ckpt = str(getattr(config, "ckpt", "eval"))
+        self.cache_dir = Path(
+            ckpt.replace("checkpoints/", "").replace(
+                ".ckpt",
+                f"_rendered_{config.data.img_wh[0]}-{config.data.img_wh[1]}"
+                f"_{self.split}"))
+
+    # ------------------------------------------------------------------
+    def eval_batch(self, batch, comp_metric: bool = True,
+                   ret_pfeat: bool = False):
+        """Render one full image sample -> (preds[, metrics])."""
+        sample = {k: (v[0] if isinstance(v, (np.ndarray, list)) and len(v) else v)
+                  for k, v in batch.items()}
+        w, h = [int(x) for x in np.asarray(sample["img_wh"]).reshape(-1)[:2]]
+        rays = np.asarray(sample["rays"]).reshape(-1, 12)
+        ray_id = None
+        if self.renderer.cfg.appearance_embedding and "ts" in sample:
+            ray_id = np.asarray(sample["ts"]).reshape(-1)[: len(rays)].astype(np.int32)
+            if len(ray_id) != len(rays):
+                ray_id = np.full((len(rays),), int(ray_id.flat[0]), np.int32)
+        preds = self.renderer.predict(self.params, jnp.asarray(rays), w, h,
+                                      ray_id=ray_id, ret_pfeat=ret_pfeat)
+        if comp_metric:
+            rgb_gt = jnp.asarray(np.asarray(sample["rgbs"]).reshape(h, w, -1))
+            masks = None
+            if "mask" in sample:
+                masks = jnp.asarray(np.asarray(sample["mask"]).reshape(h, w, -1))
+            metrics = compute_nerf_metrics(
+                {k: jnp.asarray(v) for k, v in preds.items()
+                 if k.startswith("rgb_")},
+                rgb_gt, validation_mode=True, mask_loss=masks)
+            return preds, metrics
+        return preds
+
+    @staticmethod
+    def unnorm(unnorm_scene, pts):
+        flat = np.asarray(pts).reshape(-1, 3)
+        h = np.concatenate([flat, np.ones_like(flat[:, :1])], -1)
+        out = (np.asarray(unnorm_scene) @ h.T).T[:, :3]
+        return out.reshape(np.shape(pts))
+
+    # ------------------------------------------------------------------
+    def eval_data_loader(self, data_loader=None, save_depth: bool = False,
+                         cache_dir=None, debug: bool = False):
+        """Render the split; PSNR summary + png caching."""
+        import imageio
+
+        data_loader = data_loader or self.data_loader
+        cache_dir = Path(cache_dir if cache_dir else self.cache_dir)
+        if debug:
+            cache_dir = cache_dir / "debug"
+        (cache_dir / "rgb").mkdir(parents=True, exist_ok=True)
+        if save_depth:
+            (cache_dir / "depth").mkdir(parents=True, exist_ok=True)
+
+        results = defaultdict(list)
+        for i, batch in enumerate(data_loader):
+            preds, metrics = self.eval_batch(batch)
+            psnr = float(metrics["rgb_fine_psnr"])
+            results["psnr"].append(psnr)
+            img_idx = batch["img_idx"][0]
+            if isinstance(img_idx, (list, np.ndarray)):
+                img_idx = img_idx[0]
+            rgb = preds.get("rgb_fine", preds.get("rgb_coarse"))
+            imageio.imwrite(cache_dir / "rgb" / f"{img_idx}.png", img2int8(rgb))
+            if save_depth:
+                from ..utils.images import save_depth_as_img
+
+                depth = preds.get("depth_fine", preds.get("depth_coarse"))
+                save_depth_as_img(cache_dir / "depth" / f"{img_idx}.png",
+                                  np.asarray(depth).squeeze())
+            if debug:
+                logger.info(f"{i} psnr={psnr:.3f}")
+                if i > 10:
+                    break
+        logger.info(f"Average psnr={np.mean(results['psnr']):.4f}")
+        np.save(cache_dir / "results.npy", dict(results))
+        return dict(results)
+
+    # ------------------------------------------------------------------
+    def cache_scene_pts(self, feat_comb: str = "lin", debug: bool = False,
+                        cache_dir=None):
+        """Render every view on the ds grid and cache per-frame scene points
+        with the §3.2 npy schema consumed by ``load_frame_3d``."""
+        self.renderer.cfg = self.renderer.cfg.__class__(
+            **{**self.renderer.cfg.__dict__, "feat_comb": feat_comb})
+        if cache_dir is None:
+            scene_dir = self.cache_dir / "scene" / \
+                f"ds{getattr(self.config, 'downsample', 8)}{feat_comb}"
+        else:
+            scene_dir = Path(cache_dir) / "ds8lin"
+        scene_dir.mkdir(parents=True, exist_ok=True)
+        logger.info(f"Scene-point cache dir: {scene_dir}")
+
+        for i, batch in enumerate(self.data_loader):
+            img_idx = batch["img_idx"][0]
+            if isinstance(img_idx, (list, np.ndarray)):
+                img_idx = img_idx[0]
+            preds = self.eval_batch(batch, comp_metric=False, ret_pfeat=True)
+            pt3d = np.asarray(preds["pts_fine"])
+            unnorm_scene = np.eye(4, dtype=np.float32)
+            if "unnorm_scene" in batch:
+                unnorm_scene = np.asarray(batch["unnorm_scene"][0])
+                pt3d = self.unnorm(unnorm_scene, pt3d)
+            scene_pts = dict(
+                pt3d=pt3d.astype(np.float32),
+                unnorm_scene=unnorm_scene.astype(np.float32),
+                pt_feat=np.asarray(preds["feat_fine"], np.float32),
+                pt_color=np.clip(
+                    np.asarray(preds["rgb_fine"]).reshape(-1, 3), 0, 1
+                ).astype(np.float32),
+            )
+            if "cam2scene" in batch:
+                scene_pts["cam2scene"] = np.asarray(batch["cam2scene"][0],
+                                                    np.float32)
+            if "sky_mask" in batch:
+                scene_pts["sky_mask"] = np.asarray(batch["sky_mask"])
+            np.save(scene_dir / f"{img_idx}.npy", scene_pts)
+            if debug and i > 10:
+                break
+        return scene_dir
+
+    # ------------------------------------------------------------------
+    def render_single_view(self, pose, K, near: float = 0.0, far: float = 1.0,
+                           flipped_yz: bool = False):
+        K = jnp.asarray(K)
+        w, h = (np.asarray(K)[:2, 2] * 2).astype(int)
+        dirs = get_ray_dirs(int(h), int(w), K, flipped_yz=flipped_yz)
+        o, d, v = get_rays_c2w(dirs, jnp.asarray(pose))
+        rays = prepare_rays_data(
+            o, d, v, near, far,
+            comp_radii=(self.renderer.cfg.embed_type == "mip"))
+        preds = self.renderer.predict(self.params, rays, int(w), int(h))
+        rgb = preds.get("rgb_fine", preds.get("rgb_coarse"))
+        return np.asarray(rgb), preds
+
+    def eval_on_scaled_poses(self, pose_scale: float = 1.0,
+                             pose_shift=(0, 0, 0), debug: bool = False):
+        """Render the scene from scaled/shifted camera poses (OOD check)."""
+        import imageio
+
+        dataset = self.data_loader.dataset
+        sav_dir = self.cache_dir / f"rgb_pose_scale{pose_scale}"
+        sav_dir.mkdir(parents=True, exist_ok=True)
+        shift = np.asarray(pose_shift, np.float64)
+        for i, idx in enumerate(dataset.split_inds):
+            c2w = np.array(dataset.cam2s_scenes[idx])
+            c2w[:3, 3] = c2w[:3, 3] * pose_scale + shift
+            K = np.asarray(dataset.org_Ks[idx])
+            sK = np.diag([dataset.img_wh[0] / (K[0, 2] * 2),
+                          dataset.img_wh[1] / (K[1, 2] * 2), 1.0])
+            rgb, _ = self.render_single_view(c2w, sK @ K, near=0.01)
+            imageio.imwrite(sav_dir / f"{i:04d}.png", img2int8(rgb))
+            if debug and i > 5:
+                break
+        return sav_dir

@@ -86,4 +86,8 @@ def rays_intersect_sphere(rays_o, rays_d, r: float = 1.0):
     d_norm_sq = jnp.sum(rays_d**2, axis=-1)
     o_norm_sq = jnp.sum(rays_o**2, axis=-1)
     det = odotd**2 + (r**2 - o_norm_sq) * d_norm_sq
-    return (jnp.sqrt(det) - odotd) / d_norm_sq
+    # Double-where keeps gradients finite where the ray misses the sphere
+    # (sqrt' at negative inputs would propagate NaN through jnp.where).
+    det_safe = jnp.where(det >= 0, det, 1.0)
+    t = (jnp.sqrt(det_safe) - odotd) / d_norm_sq
+    return jnp.where(det >= 0, t, jnp.nan)

@@ -102,18 +102,21 @@ def skew(v) -> jnp.ndarray:
 
 
 def rodrigues(rvec) -> jnp.ndarray:
-    """Axis-angle -> rotation matrix (differentiable; used by iNeRF + metrics)."""
+    """Axis-angle -> rotation matrix.
+
+    Differentiable at the zero rotation (iNeRF's init): uses a smoothed norm
+    ``sqrt(|r|^2 + eps)`` instead of ``jnp.linalg.norm``, whose gradient is
+    NaN at 0.
+    """
     rvec = jnp.asarray(rvec)
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, 1e-12)
-    axis = rvec / safe
+    theta = jnp.sqrt(jnp.sum(rvec**2, axis=-1, keepdims=True) + 1e-24)
+    axis = rvec / theta
     K = skew(axis)
     s = jnp.sin(theta)[..., None]
     c = jnp.cos(theta)[..., None]
     eye = jnp.eye(3, dtype=rvec.dtype)
     KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
-    R = eye + s * K + (1.0 - c) * KK
-    return jnp.where(theta[..., None] < 1e-9, eye, R)
+    return eye + s * K + (1.0 - c) * KK
 
 
 def rotation_angle_deg(R) -> jnp.ndarray:

@@ -1,0 +1,288 @@
+"""Evaluator tests: scene-point caching, localization modes, iNeRF."""
+
+import json
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerfmatch_tpu.config import dict2namespace
+from tests._synthetic import build_scene, W, H, DS, FEAT_DIM
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return build_scene(tmp_path_factory.mktemp("eval_scene"),
+                       correlated_feats=True)
+
+
+def small_nerf_cfg(scene, split="test"):
+    return dict2namespace({
+        "data": {
+            "dataset": "NerfBaseDataset",
+            "data_dir": str(scene["root"]),
+            "scene": "toy",
+            "img_wh": [W, H],
+            "ray_type": "mip",
+            "max_frustum_depth": 1,
+            "rescale_factor": 1.0,
+            "snorm_type": "fst",
+            "downsample": DS,
+        },
+        "coarse_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                        "output_dim": 4, "skips": [1], "num_pts": 8},
+        "fine_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                      "output_dim": 4, "skips": [1], "num_pts": 8},
+        "embedding": {"xyz_num_freqs": 8, "dirs_num_freqs": 4, "type": "mip"},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "loss": {},
+        "exp": {"seed": 0, "batch_size": 512, "max_epochs": 1,
+                "check_epochs": 1, "num_workers": 0, "odir": "/tmp/x"},
+        "split": split,
+        "downsample": DS,
+        "ckpt": "eval",
+    })
+
+
+def test_cache_scene_pts_schema(scene, tmp_path):
+    """The scene-point cache must satisfy the load_frame_3d contract."""
+    from nerfmatch_tpu.eval.nerf_evaluator import NerfEvaluator
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.data.loading import load_frame_3d
+
+    cfg = small_nerf_cfg(scene)
+    renderer = NerfRenderer(cfg, stop_layer=1)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    ev = NerfEvaluator(cfg, renderer, params)
+    out_dir = ev.cache_scene_pts(cache_dir=tmp_path, debug=True)
+    files = sorted(out_dir.glob("*.npy"))
+    assert len(files) >= 1
+    # Consume through the matcher-side loader.
+    frame = scene["frames"][0]
+    pt3d, feat, mask, unnorm = load_frame_3d(frame, str(out_dir))
+    n = (W // DS) * (H // DS)
+    assert pt3d.shape == (n, 3)
+    assert feat.shape == (n, 32)  # hid_dim features at stop layer
+    assert unnorm.shape == (4, 4)
+    assert np.all(np.isfinite(pt3d))
+
+
+def test_nerf_eval_data_loader(scene, tmp_path):
+    from nerfmatch_tpu.eval.nerf_evaluator import NerfEvaluator
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+
+    cfg = small_nerf_cfg(scene)
+    cfg.data.downsample = 1  # full-res images for PSNR path
+    renderer = NerfRenderer(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    ev = NerfEvaluator(cfg, renderer, params)
+    res = ev.eval_data_loader(cache_dir=tmp_path, debug=True)
+    assert len(res["psnr"]) >= 1
+    assert (tmp_path / "debug" / "rgb").exists()
+
+
+def match_eval_cfg(scene):
+    return dict2namespace({
+        "data": {
+            "dataset": "NeRFMatchPair",
+            "data_dir": str(scene["root"]),
+            "scenes": ["toy"],
+            "scene": "toy",
+            "scene_dir": str(scene["cache_dir"]),
+            "train_pair_txt": str(scene["root"] / "pairs.txt"),
+            "test_pair_txt": str(scene["root"] / "pairs.txt"),
+            "pair_topk": 2,
+            "img_wh": [W, H],
+            "model_ds": DS,
+            "imagenet_norm": False,
+            "balanced_pair": False,
+        },
+        "model": {
+            "backbone": "tiny", "pretrained": False, "cfeat_dim": 32,
+            "pt_dim": FEAT_DIM, "im_pe": True, "im_sa": 0, "im_sa_type": None,
+            "pt_sa": 0, "pt_sa_type": None, "pt_pe": False,
+            "coarse_layers": 0, "temp_type": "mul",
+        },
+        "exp": {"seed": 0},
+        "split": "test",
+        "ckpt": "eval",
+    })
+
+
+def test_match_oracle_localizes(scene):
+    """Oracle GT matches through the evaluator's PnP path must localize."""
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="train", val_num=4)
+    batch = _collate([ds[0]])
+    c2w_est, r_err, t_err, n = ev.eval_match_pose(
+        batch, match_oracle=True, rthres=6.0, solver="colmap")
+    assert c2w_est is not None
+    assert r_err < 5.0 and t_err < 0.3, (r_err, t_err)
+
+
+def test_retrieval_only_mode(scene):
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="test", val_num=4)
+    batch = _collate([ds[0]])
+    m = ev.eval_batch(batch, retrieval_only=True)
+    # Retrieval pose = neighboring frame; small but nonzero error.
+    assert np.isfinite(m["R_err"][0])
+    assert m["R_err"][0] > 0
+
+
+def test_eval_multi_scenes_with_cache(scene, tmp_path):
+    """Full multi-scene driver: runs, caches, reuses cache."""
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    avg, per_scene = ev.eval_multi_scenes(
+        split="val", rthres=6.0, solver="colmap", match_oracle=True,
+        cache_dir=tmp_path, debug=True)
+    assert avg is not None
+    assert "t_med" in avg
+    caches = list(tmp_path.glob("*.npy"))
+    assert len(caches) == 1
+    # Second run hits the cache (no new files, same results).
+    avg2, _ = ev.eval_multi_scenes(
+        split="val", rthres=6.0, solver="colmap", match_oracle=True,
+        cache_dir=tmp_path, debug=True)
+    assert avg2["t_med"] == pytest.approx(avg["t_med"])
+
+
+def test_inerf_refinement_improves_pose(tmp_path):
+    """Train a tiny NeRF on an emissive ball, perturb the pose, iNeRF back."""
+    import optax
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.nerf.rays import get_ray_dirs, get_rays_c2w, \
+        prepare_rays_data
+    from nerfmatch_tpu.nerf.scene import rays_intersect_sphere
+    from nerfmatch_tpu.eval.inerf import inerf_refinement
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from tests._synthetic import look_at
+
+    cfg = small_nerf_cfg_for_inerf()
+    renderer = NerfRenderer(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    IM = 32
+
+    def gt_color(rays):
+        o, d = rays[:, :3], rays[:, 3:6]
+        tmid = -jnp.sum(o * d, -1) / jnp.sum(d * d, -1)
+        closest = jnp.linalg.norm(o + tmid[:, None] * d, axis=-1)
+        hit = (closest < 0.25) & (tmid > 0)
+        return jnp.where(hit[:, None], jnp.asarray([[0.9, 0.2, 0.1]]),
+                         jnp.ones((1, 3)))  # white bg to match inerf render
+
+    K = jnp.asarray([[30.0, 0, IM / 2], [0, 30.0, IM / 2], [0, 0, 1]])
+    all_rays, all_rgb = [], []
+    for ang in np.linspace(0, 2 * np.pi, 10, endpoint=False):
+        c2w = jnp.asarray(look_at([0.7 * np.cos(ang), 0.1, 0.7 * np.sin(ang)]),
+                          jnp.float32)
+        dirs = get_ray_dirs(IM, IM, K)
+        o, d, v = get_rays_c2w(dirs, c2w)
+        far = rays_intersect_sphere(o.reshape(-1, 3), v.reshape(-1, 3))
+        far = jnp.where(jnp.isfinite(far), far, 1.0).reshape(IM, IM, 1)
+        rays = prepare_rays_data(o, v, v, 0.01, far, flatten=False,
+                                 comp_radii=True).reshape(-1, 12)
+        all_rays.append(np.asarray(rays))
+        all_rgb.append(np.asarray(gt_color(rays)))
+    all_rays = np.concatenate(all_rays)
+    all_rgb = np.concatenate(all_rgb)
+
+    opt = optax.adam(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, state, rays, rgb, key):
+        def loss_fn(p):
+            preds = renderer.render_rays(p, rays, key=key, train=True)
+            return (jnp.mean((preds["rgb_fine"] - rgb) ** 2)
+                    + 0.5 * jnp.mean((preds["rgb_coarse"] - rgb) ** 2))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for i in range(150):
+        idx = rng.integers(0, len(all_rays), 512)
+        key, k = jax.random.split(key)
+        params, state, loss = train_step(params, state,
+                                         jnp.asarray(all_rays[idx]),
+                                         jnp.asarray(all_rgb[idx]), k)
+
+    # Ground-truth pose + perturbed init.
+    c2w_gt = look_at([0.7, 0.1, 0.0])
+    from scipy.spatial.transform import Rotation as Rot
+    pert = np.eye(4)
+    pert[:3, :3] = Rot.from_rotvec([0.0, 0.06, 0.02]).as_matrix()
+    pert[:3, 3] = [0.03, -0.02, 0.01]
+    c2w_init = c2w_gt @ pert
+
+    # Query image = GT render colors from analytic scene.
+    dirs = get_ray_dirs(IM, IM, K)
+    o, d, v = get_rays_c2w(dirs, jnp.asarray(c2w_gt, jnp.float32))
+    far = rays_intersect_sphere(o.reshape(-1, 3), v.reshape(-1, 3))
+    far = jnp.where(jnp.isfinite(far), far, 1.0).reshape(IM, IM, 1)
+    rays_q = prepare_rays_data(o, v, v, 0.01, far, flatten=False,
+                               comp_radii=True).reshape(-1, 12)
+    img = np.asarray(gt_color(rays_q)).reshape(IM, IM, 3)
+
+    ev = _dummy_match_evaluator()
+    batch = {
+        "image": img[None],
+        "K": np.asarray(K)[None],
+        "c2w": np.asarray(c2w_gt, np.float32)[None],
+    }
+    inerf_conf = dict2namespace({"lrate": 0.01, "num_optim": 8, "ds": 2,
+                                 "eval_pose": True, "lrdecay": True})
+    from nerfmatch_tpu.utils.geometry import pose_err as pe
+    r0, t0 = map(float, pe(jnp.asarray(c2w_gt, jnp.float32),
+                           jnp.asarray(c2w_init, jnp.float32)))
+    c2w_ref, r_err, t_err = inerf_refinement(
+        ev, batch, renderer, params, np.eye(4), c2w_init, inerf_conf)
+    assert t_err < t0, (t0, t_err)
+    assert r_err < r0 + 0.5
+
+
+def small_nerf_cfg_for_inerf():
+    return dict2namespace({
+        "data": {"img_wh": [32, 32]},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                        "output_dim": 4, "skips": [1], "num_pts": 16},
+        "fine_nerf": {"method": "NeRF", "layer_num": 3, "hid_dim": 32,
+                      "output_dim": 4, "skips": [1], "num_pts": 16},
+        "embedding": {"xyz_num_freqs": 8, "dirs_num_freqs": 4, "type": "mip"},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": True, "white_bg": True, "noise_std": 0.0},
+        "loss": {},
+        "exp": {"seed": 0},
+    })
+
+
+def _dummy_match_evaluator():
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+
+    cfg = dict2namespace({
+        "model": {"backbone": "tiny", "pretrained": False, "cfeat_dim": 32,
+                  "pt_dim": FEAT_DIM, "im_pe": False, "im_sa": 0,
+                  "im_sa_type": None, "pt_sa": 0, "pt_sa_type": None,
+                  "pt_pe": False, "coarse_layers": 0, "temp_type": "mul"},
+        "data": {},
+        "exp": {"seed": 0},
+        "ckpt": "eval",
+    })
+    return NeRFMatchEvaluator(cfg)
