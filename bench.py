@@ -1,0 +1,71 @@
+"""Headline benchmark: mip-NeRF feature-render throughput (rays/sec).
+
+Measures the production render path from the BASELINE protocol (config 1):
+hierarchical mip render, 128 coarse + 128 fine samples/ray, 8x256 MLP with
+viewdirs + layer-3 feature tap and along-ray feature compositing — i.e. the
+``cache_scene_pts`` hot loop — on the attached TPU chip.
+
+vs_baseline compares against an estimated PyTorch reference throughput on an
+A100 for the same forward render (~100k rays/s: 2.36M MLP samples per 9216-ray
+batch at ~1.1 MFLOP/sample fp32/TF32 with framework overhead, consistent with
+public mip-NeRF torch implementations).  The reference repo publishes no
+in-tree number (SURVEY §6); this constant is the documented stand-in until a
+measured A100 torch baseline replaces it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerfmatch_tpu.nerf.renderer import NerfRenderer
+from __graft_entry__ import _example_rays, _nerf_config
+
+REF_RAYS_PER_SEC = 100_000.0  # estimated PyTorch A100 forward render
+
+
+def main():
+    renderer = NerfRenderer(_nerf_config(), stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    batch = 9216  # reference train/eval ray batch (configs/nerf/*.yaml)
+    rays = _example_rays(batch)
+
+    @jax.jit
+    def render(params, rays):
+        preds = renderer.render_rays(params, rays, train=False,
+                                     ret_pfeat=True, validation=True)
+        return preds["rgb_fine"], preds["feat_fine"], preds["pts_fine"]
+
+    # Warmup / compile.  NOTE: the axon PJRT backend dispatches async and
+    # block_until_ready returns early — a host fetch is the only reliable
+    # sync, so every timed iteration fetches the rgb buffer (110 KB,
+    # negligible vs compute).
+    out = render(params, rays)
+    np.asarray(out[0])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(params, rays)
+        np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "nerf_feature_render_throughput",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
