@@ -280,6 +280,12 @@ class NerfBaseDataset:
                 v = sample[k].reshape(img_h, img_w, -1)
                 sample[k] = v[ds // 2 :: ds, ds // 2 :: ds]
         sample["img_wh"] = sample["img_wh"] // ds
+        if self.white_bg and "mask" in sample:
+            # Sky/bg mask at the cache grid (Cambridge SAM-masked path):
+            # 1 = masked-out (sky or transient).
+            full = (1 - sample["mask"].reshape(-1)).reshape(
+                img_h // ds, img_w // ds)
+            sample["sky_mask"] = full[None]
 
     def load_retrieval_pair_sample(self, sample_idx, validation: bool = True):
         kid = sample_idx % len(self.pair_ids[sample_idx])

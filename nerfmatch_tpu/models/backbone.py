@@ -52,6 +52,7 @@ class BackboneConfig:
     stage1_stride: int = 2
     mlp_ratio: int = 4
     sep_expansion: int = 2
+    use_fpn: bool = False
 
     @property
     def feat_dim(self):
@@ -59,6 +60,7 @@ class BackboneConfig:
 
 
 def make_config(name: str, two_scale: bool = False) -> BackboneConfig:
+    use_fpn = "_fpn" in name
     base = name.replace("_fpn", "")
     for key in SUPPORTED:
         if base.startswith(key):
@@ -68,7 +70,7 @@ def make_config(name: str, two_scale: bool = False) -> BackboneConfig:
     if two_scale:
         # Stem-stride surgery: 1/2 after stem, 1/8 after stage-1 downsample.
         return BackboneConfig(depths, dims, stem_stride=2, stem_pad=3,
-                              stage1_stride=4)
+                              stage1_stride=4, use_fpn=use_fpn)
     return BackboneConfig(depths, dims)
 
 
@@ -197,13 +199,62 @@ def backbone_apply(params, cfg: BackboneConfig, img_nhwc):
     return metaformer_apply(params, cfg, img_nhwc)[-1]
 
 
+def _init_conv_kaiming(key, kh, kw, cin, cout, bias=False):
+    p = init_conv(key, kh, kw, cin, cout, bias=bias)
+    std = jnp.sqrt(2.0 / (kh * kw * cout))
+    p["weight"] = jax.random.normal(key, p["weight"].shape) * std
+    return p
+
+
+def init_fpn(key, block_dims):
+    """FPN merging 1/8 features into the 1/2 map (reference MetaFormer_MS
+    ``init_fpn``, modules/__init__.py:42-77)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "layer2_outconv": _init_conv_kaiming(k1, 1, 1, block_dims[1], block_dims[1]),
+        "layer1_outconv": _init_conv_kaiming(k2, 1, 1, block_dims[0], block_dims[1]),
+        "layer1_outconv2": {
+            "conv1": _init_conv_kaiming(k3, 3, 3, block_dims[1], block_dims[1]),
+            "bn": {"weight": jnp.ones((block_dims[1],)),
+                   "bias": jnp.zeros((block_dims[1],))},
+            "conv2": _init_conv_kaiming(k4, 3, 3, block_dims[1], block_dims[0]),
+        },
+    }
+
+
+def _bilinear_upsample(x, factor):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * factor, w * factor, c), "bilinear")
+
+
+def fpn_apply(params, x2_coarse, x1_fine):
+    """x2 (1/8), x1 (1/2) -> [coarse_out (1/8), fine_out (1/2)]."""
+    x2_out = conv2d(params["layer2_outconv"], x2_coarse, padding=0)
+    x2_up = _bilinear_upsample(x2_out, 4)
+    x1_out = conv2d(params["layer1_outconv"], x1_fine, padding=0)
+    h = x1_out + x2_up
+    p = params["layer1_outconv2"]
+    h = conv2d(p["conv1"], h, padding=1)
+    # BatchNorm in inference form (running stats folded to identity at init).
+    h = h * p["bn"]["weight"] + p["bn"]["bias"]
+    h = jax.nn.leaky_relu(h, 0.01)
+    h = conv2d(p["conv2"], h, padding=1)
+    return x2_out, h
+
+
 def init_backbone_8_2(key, name: str):
     """Two-scale (1/8, 1/2) backbone with the MS stem surgery."""
     cfg = make_config(name, two_scale=True)
-    return init_metaformer(key, cfg), cfg
+    k1, k2 = jax.random.split(key)
+    params = init_metaformer(k1, cfg)
+    if cfg.use_fpn:
+        params["fpn"] = init_fpn(k2, list(cfg.dims))
+    return params, cfg
 
 
 def backbone_8_2_apply(params, cfg: BackboneConfig, img_nhwc):
     """(N, H, W, 3) -> (coarse 1/8 (N,H/8,W/8,C1), fine 1/2 (N,H/2,W/2,C0))."""
     f_fine, f_coarse = metaformer_apply(params, cfg, img_nhwc)
+    if cfg.use_fpn and "fpn" in params:
+        f_coarse, f_fine = fpn_apply(params["fpn"], f_coarse, f_fine)
     return f_coarse, f_fine

@@ -109,13 +109,21 @@ def _effective_stop_layer(cfg: NerfConfig) -> int:
     return -1
 
 
-def nerf_apply(params, cfg: NerfConfig, x, val: bool = False):
+def nerf_apply(params, cfg: NerfConfig, x, val: bool = False,
+               compute_dtype=None):
     """Evaluate the MLP on encoded inputs ``x``: (..., xyz+dirs+app dims).
 
     Returns ``(outputs, point_feature)`` where outputs is (..., output_dim
     [+ out_add_ch]) and point_feature is the stop-layer activation (the NeRF
     descriptor) — the final hidden state when no stop layer is configured.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): cast inputs + weights for the
+    matmul-heavy trunk (TPU MXU fast path); outputs are returned in f32.
     """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params)
     input_pts = x[..., : cfg.xyz_dim]
     input_views = x[..., cfg.xyz_dim : cfg.xyz_dim + cfg.dirs_dim]
     input_app = x[..., cfg.xyz_dim + cfg.dirs_dim :]
@@ -167,4 +175,7 @@ def nerf_apply(params, cfg: NerfConfig, x, val: bool = False):
         out_feat = stop_feat
     else:
         out_feat = pt_feat
+    if compute_dtype is not None:
+        outputs = outputs.astype(jnp.float32)
+        out_feat = out_feat.astype(jnp.float32)
     return outputs, out_feat

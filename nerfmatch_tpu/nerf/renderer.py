@@ -55,6 +55,7 @@ class RenderConfig:
     output_dim: int = 4
     num_out_ch: int = 0                  # extra scene-coord channels (out_scr)
     out_scr: bool = False
+    compute_dtype: str = "float32"       # "bfloat16": bf16 MLP trunk (MXU)
 
     @classmethod
     def from_config(cls, config):
@@ -78,6 +79,7 @@ class RenderConfig:
             output_dim=getattr(getattr(config, "fine_nerf", None), "output_dim", 4),
             out_scr=bool(getattr(data, "out_scr", False)),
             num_out_ch=3 if getattr(data, "out_scr", False) else 0,
+            compute_dtype=getattr(render, "compute_dtype", "float32"),
         )
 
 
@@ -172,7 +174,9 @@ class NerfRenderer:
         if app_emb is not None:
             app = jnp.broadcast_to(app_emb[:, None, :], (R, S, app_emb.shape[-1]))
             inputs = jnp.concatenate([inputs, app], axis=-1)
-        return nerf_apply(params, model_cfg, inputs, val=validation)
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+        return nerf_apply(params, model_cfg, inputs, val=validation,
+                          compute_dtype=dtype)
 
     def render_rays(self, params, rays, key=None, ray_id=None, train: bool = False,
                     ret_pfeat: bool = False, validation: bool | None = None):

@@ -141,6 +141,24 @@ def convert_torch_params(template, state_dict, prefix: str = "",
     return jax.tree_util.tree_unflatten(treedef, new_leaves), missing
 
 
+def convert_timm_backbone(template, timm_state_dict):
+    """Import a *raw* timm MetaFormer checkpoint (keys ``stages.1.blocks...``
+    with dots) into a backbone param template.
+
+    The matcher ckpts store timm's FeatureListNet flattening
+    (``stages_1...``), which :func:`convert_torch_params` handles natively;
+    this remaps raw-timm dotted stage keys to that convention first, and
+    prefixes ``backbone.`` to align with the template path.
+    """
+    import re
+
+    remapped = {}
+    for k, v in timm_state_dict.items():
+        k = re.sub(r"^stages\.(\d+)\.", r"stages_\1.", k)
+        remapped["backbone." + k] = v
+    return convert_torch_params({"backbone": template}, remapped)
+
+
 def infer_appearance_vocab(state_dict):
     """Appearance-embedding vocab size from the ckpt shapes
     (``nerf_evaluator.py:73-84``)."""

@@ -190,3 +190,43 @@ def test_coarse_matcher_overfit_synthetic():
     j = np.asarray(out["j_ids"][0])
     acc = (j[tok] == (tok * 7) % N_PTS).mean()
     assert acc > 0.9, f"overfit failed: acc={acc}, loss={float(loss)}"
+
+
+def test_fpn_backbone_shapes():
+    from nerfmatch_tpu.models.backbone import init_backbone_8_2, backbone_8_2_apply
+    import jax.numpy as jnp
+
+    p, cfg = init_backbone_8_2(jax.random.PRNGKey(0), "tiny_fpn")
+    assert cfg.use_fpn and "fpn" in p
+    img = jnp.zeros((1, IMG, IMG, 3))
+    fc, ff = backbone_8_2_apply(p, cfg, img)
+    # FPN maps both scales to block_dims[1] / block_dims[0] channels.
+    assert fc.shape == (1, IMG // 8, IMG // 8, 32)
+    assert ff.shape == (1, IMG // 2, IMG // 2, 16)
+
+
+def test_timm_backbone_import():
+    """Raw timm-style dotted keys load into the backbone template."""
+    from nerfmatch_tpu.models.backbone import init_backbone, make_config
+    from nerfmatch_tpu.train.checkpoint import convert_timm_backbone
+    import numpy as np
+
+    template, cfg = init_backbone(jax.random.PRNGKey(0), "tiny")
+    # Build a fake timm state dict from the template by inverse transforms.
+    state = {}
+    state["stem.conv.weight"] = np.transpose(
+        np.asarray(template["stem"]["conv"]["weight"]), (3, 2, 0, 1))
+    state["stem.conv.bias"] = np.asarray(template["stem"]["conv"]["bias"]) + 1
+    state["stem.norm.weight"] = np.asarray(template["stem"]["norm"]["weight"]) * 2
+    blk = template["stages"][1]["blocks"][0]
+    state["stages.1.blocks.0.norm1.weight"] = np.asarray(blk["norm1"]["weight"]) * 3
+    state["stages.1.blocks.0.token_mixer.pwconv1.weight"] = np.asarray(
+        blk["token_mixer"]["pwconv1"]["weight"]).T
+    params, missing = convert_timm_backbone(template, state)
+    params = params["backbone"]
+    assert np.allclose(np.asarray(params["stem"]["conv"]["bias"]),
+                       np.asarray(template["stem"]["conv"]["bias"]) + 1)
+    assert np.allclose(np.asarray(params["stages"][1]["blocks"][0]["norm1"]["weight"]),
+                       np.asarray(blk["norm1"]["weight"]) * 3)
+    # Only keys we provided were filled; rest reported missing.
+    assert any("mlp.fc1" in m for m in missing)

@@ -1,0 +1,124 @@
+"""Fused Pallas render kernel vs the pure-XLA reference path (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerfmatch_tpu.nerf.model import NerfConfig, init_nerf_params, nerf_apply
+from nerfmatch_tpu.nerf.embedding import ipe_embedding, pe_embedding
+from nerfmatch_tpu.nerf.compositing import volume_render, composite_features
+from nerfmatch_tpu.nerf.sampling import sample_gaussians_along_rays
+from nerfmatch_tpu.ops.pallas.render_kernel import (
+    FusedRenderSpec,
+    make_fused_render,
+    make_spread_matrices,
+    pack_mlp_weights,
+    prepare_fused_inputs,
+)
+
+F = 15
+HID = 256
+S = 128
+N_RAYS = 32
+DIRS_DIM = 2 * 3 * 4 + 3  # mip PE with 4 freqs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = NerfConfig(layer_num=8, hid_dim=HID, xyz_dim=2 * 3 * F,
+                     dirs_dim=DIRS_DIM, use_viewdirs=True, skips=(4,),
+                     stop_layer=3)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.uniform(-0.2, 0.2, (N_RAYS, 3)), jnp.float32)
+    d = rng.normal(size=(N_RAYS, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    radii = jnp.full((N_RAYS, 1), 0.002)
+    near = jnp.full((N_RAYS, 1), 0.05)
+    far = jnp.full((N_RAYS, 1), 1.4)
+    z_vals, (mean, var) = sample_gaussians_along_rays(
+        o, d, radii, S, near, far, randomized=False)
+    dirs_pe = pe_embedding(d, 4)
+    return cfg, params, z_vals, mean, var, d, dirs_pe
+
+
+def test_spread_matrices_match_ipe(setup):
+    """mean @ Sp (+phase) reproduces the reference IPE encode layout."""
+    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+    spec = FusedRenderSpec(num_freqs=F)
+    Sp, Sq, phase, mask = make_spread_matrices(spec)
+
+    m = mean.reshape(-1, 3)
+    v = var.reshape(-1, 3)
+    m8 = jnp.pad(m, ((0, 0), (0, 5)))
+    v8 = jnp.pad(v, ((0, 0), (0, 5)))
+    pre = m8 @ Sp + phase
+    damp = jnp.exp(-0.5 * (v8 @ Sq))
+    enc_kernel = (damp * jnp.sin(pre)) * mask
+
+    enc_ref, _ = ipe_embedding(m, v, F)
+    assert np.allclose(np.asarray(enc_kernel[:, : 2 * 3 * F]),
+                       np.asarray(enc_ref), atol=2e-5)
+    assert np.allclose(np.asarray(enc_kernel[:, 2 * 3 * F :]), 0.0)
+
+
+def test_fused_kernel_matches_xla(setup):
+    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+
+    # --- XLA reference path
+    enc, _ = ipe_embedding(mean, var, F)
+    dirs_b = jnp.broadcast_to(dirs_pe[:, None, :], (N_RAYS, S, DIRS_DIM))
+    inputs = jnp.concatenate([enc, dirs_b], axis=-1)
+    raw, feats = nerf_apply(params, cfg, inputs, val=True)
+    ref = volume_render(raw[..., :4], z_vals, d, mip=True, white_bg=False)
+    ref_feat = composite_features(ref["weights"], feats, "lin")
+    ref_pts = composite_features(ref["weights"], mean, "lin")
+
+    # --- fused kernel (interpret mode on CPU)
+    spec = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                           extra_dim=128, samples=S, ray_tile=N_RAYS,
+                           feat_layer=3, white_bg=False)
+    fused = make_fused_render(spec, interpret=True)
+    w = pack_mlp_weights(params, spec, extra_dim_real=DIRS_DIM)
+    mean8, var8, extras = prepare_fused_inputs(mean, var, dirs_pe)
+    extras = jnp.pad(extras, ((0, 0), (0, 128 - extras.shape[1])))
+    out = fused(w, mean8, var8, z_vals, extras)
+
+    # bf16 trunk -> tolerances are relative-coarse but must track closely.
+    assert np.allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+                       atol=2e-2), np.abs(np.asarray(out["rgb"]) -
+                                          np.asarray(ref["rgb"])).max()
+    assert np.allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
+                       atol=2e-2)
+    assert np.allclose(np.asarray(out["acc"]), np.asarray(ref["acc"]),
+                       atol=2e-2)
+    w_err = np.abs(np.asarray(out["weights"]) - np.asarray(ref["weights"]))
+    assert w_err.max() < 2e-2, w_err.max()
+    f_rel = (np.abs(np.asarray(out["feat"]) - np.asarray(ref_feat)).max()
+             / (np.abs(np.asarray(ref_feat)).max() + 1e-9))
+    assert f_rel < 5e-2, f_rel
+    assert np.allclose(np.asarray(out["pts"]), np.asarray(ref_pts), atol=2e-2)
+
+
+def test_fused_kernel_multi_tile(setup):
+    """Grid over multiple ray tiles stitches outputs correctly."""
+    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+    spec = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                           samples=S, ray_tile=16, feat_layer=3)
+    fused = make_fused_render(spec, interpret=True)
+    w = pack_mlp_weights(params, spec, extra_dim_real=DIRS_DIM)
+    mean8, var8, extras = prepare_fused_inputs(mean, var, dirs_pe)
+    extras = jnp.pad(extras, ((0, 0), (0, 128 - extras.shape[1])))
+    out2 = fused(w, mean8, var8, z_vals, extras)
+
+    spec1 = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                            samples=S, ray_tile=N_RAYS, feat_layer=3)
+    fused1 = make_fused_render(spec1, interpret=True)
+    out1 = fused1(w, mean8, var8, z_vals, extras)
+    assert np.allclose(np.asarray(out1["rgb"]), np.asarray(out2["rgb"]),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(out1["feat"]), np.asarray(out2["feat"]),
+                       atol=1e-4)
