@@ -3,7 +3,12 @@
 Measures the production render path from the BASELINE protocol (config 1):
 hierarchical mip render, 128 coarse + 128 fine samples/ray, 8x256 MLP with
 viewdirs + layer-3 feature tap and along-ray feature compositing — i.e. the
-``cache_scene_pts`` hot loop — on the attached TPU chip.
+``cache_scene_pts`` hot loop — on the attached TPU chip, using the fused
+Pallas kernel path (``ops/pallas/render_kernel.py``).
+
+Timing is amortized over pipelined dispatches with a single device fetch at
+the end (the axon PJRT backend dispatches asynchronously; per-call host
+fetches would add ~25 ms tunnel RTT to every iteration).
 
 vs_baseline compares against an estimated PyTorch reference throughput on an
 A100 for the same forward render (~100k rays/s: 2.36M MLP samples per 9216-ray
@@ -23,9 +28,9 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
+from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
 from __graft_entry__ import _example_rays, _nerf_config
 
 REF_RAYS_PER_SEC = 100_000.0  # estimated PyTorch A100 forward render
@@ -38,24 +43,19 @@ def main():
     batch = 9216  # reference train/eval ray batch (configs/nerf/*.yaml)
     rays = _example_rays(batch)
 
-    @jax.jit
-    def render(params, rays):
-        preds = renderer.render_rays(params, rays, train=False,
-                                     ret_pfeat=True, validation=True)
-        return preds["rgb_fine"], preds["feat_fine"], preds["pts_fine"]
+    render, pack = make_fused_hierarchical(renderer)
+    wc, wf = pack(params)
+    fn = jax.jit(lambda rays: render(wc, wf, rays))
 
-    # Warmup / compile.  NOTE: the axon PJRT backend dispatches async and
-    # block_until_ready returns early — a host fetch is the only reliable
-    # sync, so every timed iteration fetches the rgb buffer (110 KB,
-    # negligible vs compute).
-    out = render(params, rays)
-    np.asarray(out[0])
+    # Warmup / compile (+ host fetch to force full execution).
+    out = fn(rays)
+    np.asarray(out["rgb_fine"])
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render(params, rays)
-        np.asarray(out[0])
+        out = fn(rays)
+    np.asarray(out["rgb_fine"])
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = batch / dt

@@ -218,25 +218,31 @@ def sorted_piecewise_constant_pdf(bins, weights, num_samples: int,
         u = jnp.linspace(0.0, 1.0 - _F32_EPS, num_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_samples))
 
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather-free interval lookup: mask[n, k, s] = (cdf[k] <= u[s]) is a
+    # prefix in k (cdf sorted), so the interval endpoints are masked
+    # max/min reductions — dense VPU work instead of take_along_axis
+    # gathers, which dominate this op's runtime on TPU.
+    mask = cdf[..., :, None] <= u[..., None, :]          # (N, B, S)
+    big = jnp.float32(1e10)
+    cdf_g0 = jnp.max(jnp.where(mask, cdf[..., :, None], -big), axis=-2)
+    cdf_g1 = jnp.min(jnp.where(mask, big, cdf[..., :, None]), axis=-2)
+    bins_g0 = jnp.max(jnp.where(mask, bins[..., :, None], -big), axis=-2)
+    bins_g1 = jnp.min(jnp.where(mask, big, bins[..., :, None]), axis=-2)
+    # Clamp the degenerate edges (u below cdf[0] / above cdf[-1]).
+    cdf_g0 = jnp.maximum(cdf_g0, cdf[..., :1])
+    cdf_g1 = jnp.minimum(cdf_g1, cdf[..., -1:])
+    bins_g0 = jnp.maximum(bins_g0, bins[..., :1])
+    bins_g1 = jnp.minimum(bins_g1, bins[..., -1:])
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0), nan=0.0), 0.0, 1.0)
     return bins_g0 + t * (bins_g1 - bins_g0)
 
 
-def resample_gaussians_along_rays(origins, directions, radii, t_vals, weights,
-                                  randomized: bool = False, key=None,
-                                  stop_grad: bool = True,
-                                  resample_padding: float = 0.01,
-                                  ray_shape: str = "cone", diag: bool = True):
-    """mip-NeRF weight-blurred PDF resampling (same sample count as t_vals)."""
+def resample_z_from_weights(t_vals, weights, randomized: bool = False,
+                            key=None, stop_grad: bool = True,
+                            resample_padding: float = 0.01):
+    """mip-NeRF weight-blurred z resampling only (no Gaussian cast) — the
+    fused Pallas path re-derives the Gaussians in-kernel from z."""
     weights_pad = jnp.concatenate(
         [weights[..., :1], weights, weights[..., -1:]], axis=-1
     )
@@ -249,6 +255,18 @@ def resample_gaussians_along_rays(origins, directions, radii, t_vals, weights,
     )
     if stop_grad:
         new_t_vals = jax.lax.stop_gradient(new_t_vals)
+    return new_t_vals
+
+
+def resample_gaussians_along_rays(origins, directions, radii, t_vals, weights,
+                                  randomized: bool = False, key=None,
+                                  stop_grad: bool = True,
+                                  resample_padding: float = 0.01,
+                                  ray_shape: str = "cone", diag: bool = True):
+    """mip-NeRF weight-blurred PDF resampling (same sample count as t_vals)."""
+    new_t_vals = resample_z_from_weights(
+        t_vals, weights, randomized=randomized, key=key, stop_grad=stop_grad,
+        resample_padding=resample_padding)
     means, covs = cast_rays(new_t_vals, origins, directions, radii, ray_shape, diag)
     return new_t_vals, (means, covs)
 

@@ -1,25 +1,28 @@
-"""Fused mip-NeRF render kernel: IPE encode -> 8x256 MLP -> alpha composite.
+"""Fused mip-NeRF render kernel: Gaussian cast -> IPE -> 8x256 MLP -> composite.
 
 The reference's hot loop (``renderer.py:153-173`` chunked MLP eval +
-``render_utils.py:176-230`` compositing) as ONE Pallas kernel per ray tile.
+``render_utils.py:176-230`` compositing) plus the conical-frustum Gaussian
+cast (``render_utils.py:326-402``) as ONE Pallas kernel per ray tile.
 TPU-shaped design decisions:
 
-* inputs are the raw sample Gaussians, padded to (T, 8) — ~16x less HBM
-  traffic than materializing the 90-dim encode (and 75x less than the f32
-  activations the XLA path streams between fused ops);
-* the integrated positional encoding is computed in-kernel as
-  ``exp(-0.5 var @ Sq) * sin(mean @ Sp + phase)`` where Sp/Sq are constant
-  (8, 128) "spread" matrices replicating each coordinate across frequencies —
-  pure MXU + VPU, no lane-crossing reshapes;
+* the only per-sample HBM input is ``z_vals`` (N, S+1); ray origins/dirs are
+  (N, 8) rows.  The Gaussian cast and the integrated positional encoding are
+  fused via the linearity of the spread transform:
+  ``mean @ Sp = o @ Sp + t_mean * (d @ Sp)`` and
+  ``var @ Sq = t_var * (d^2 @ Sq) + r_var * ((1 - d^2) @ Sq)``
+  — so the kernel computes per-ray row vectors with four (8, 128) matmuls
+  and broadcasts them over samples; the (N, S, 3) mean/cov tensors of the
+  XLA path (lane-hostile 3-wide layouts) never exist;
 * the MLP trunk runs in bf16 on the MXU with all weights resident in VMEM
   across grid steps; activations never touch HBM;
 * compositing happens in-kernel: the exclusive transmittance cumprod is a
-  log-space cumsum done as a strictly-lower-triangular ones matmul
-  (lane-axis scans are slow on TPU; a 128x128 matmul is one MXU pass);
+  log-space cumsum executed as one strictly-lower-triangular matmul
+  (lane-axis scans are slow on TPU); composited points come from
+  ``o * acc + d * sum(w * t_mean)``;
 * only per-ray outputs (rgb, depth, acc, per-sample weights for the
   hierarchical resample, composited feature/points) are written back.
 
-Layout contract: sample count S == 128 (the production config) so (T, C) ->
+Layout contract: sample count S == 128 (the production config) so (T, C) <->
 (T/S, S, C) reshapes are free (lane dim preserved).  The pure-XLA path
 (`NerfRenderer.render_rays`) remains the semantic reference; tests diff the
 kernel against it (CPU interpret mode + on-device).
@@ -34,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_F32_EPS = float(np.finfo(np.float32).eps)
 
 
 @dataclass(frozen=True)
@@ -59,12 +64,11 @@ def _pad_axis(x, size, axis):
 
 
 def make_spread_matrices(spec: FusedRenderSpec):
-    """(Sp, Sq, phase): mean3 @ Sp (+phase) and var3 @ Sq produce the
-    freq-major IPE pre-activation layout [sin-block 3F | cos-block 3F] pad 128.
-    Column j < 3F maps to scales[j//3] * coord[j%3]; cos block repeats with
-    +pi/2 phase; Sq uses scales^2 duplicated for both blocks."""
+    """(Sp, Sq, phase): coordinate-spread matrices producing the freq-major
+    IPE pre-activation layout [sin-block 3F | cos-block 3F] padded to 128.
+    Column j < 3F maps to ``scales[j//3] * coord[j%3]``; the cos block repeats
+    with +pi/2 phase; Sq uses scales^2."""
     F = spec.num_freqs
-    enc = 2 * 3 * F
     Sp = np.zeros((8, 128), np.float32)
     Sq = np.zeros((8, 128), np.float32)
     phase = np.zeros((128,), np.float32)
@@ -75,20 +79,12 @@ def make_spread_matrices(spec: FusedRenderSpec):
         Sq[c, j] = 4.0**f
         Sq[c, j + 3 * F] = 4.0**f
         phase[j + 3 * F] = np.pi / 2
-    # Mask column vector: 1 for real enc dims, 0 for padding.
-    mask = np.zeros((128,), np.float32)
-    mask[:enc] = 1.0
-    return (jnp.asarray(Sp), jnp.asarray(Sq), jnp.asarray(phase),
-            jnp.asarray(mask))
+    return jnp.asarray(Sp), jnp.asarray(Sq), jnp.asarray(phase)
 
 
 def pack_mlp_weights(params, spec: FusedRenderSpec, extra_dim_real: int):
-    """NeRF MLP params -> padded bf16 kernel weights.
-
-    First-layer rows (and skip-layer encode rows) follow the in-kernel
-    encode layout: identical to :func:`ipe_embedding`'s freq-major
-    [sines | cosines] ordering, zero-padded to 128.
-    """
+    """NeRF MLP params -> padded bf16 kernel weights (layout matches the
+    in-kernel encode: freq-major [sines | cosines] zero-padded to 128)."""
     enc = 2 * 3 * spec.num_freqs
     hid = spec.hid_dim
     w = {}
@@ -104,8 +100,9 @@ def pack_mlp_weights(params, spec: FusedRenderSpec, extra_dim_real: int):
             w[f"w{i}"] = jnp.asarray(wi).astype(jnp.bfloat16)
         w[f"b{i}"] = np.asarray(pts[i]["bias"], np.float32)
 
-    w["wa"] = jnp.asarray(params["alpha_linear"]["weight"]).reshape(-1).astype(jnp.float32)
-    w["ba"] = float(np.asarray(params["alpha_linear"]["bias"])[0])
+    w["wa"] = jnp.asarray(params["alpha_linear"]["weight"]).reshape(-1)
+    w["ba"] = jnp.asarray(
+        [[float(np.asarray(params["alpha_linear"]["bias"])[0])]], jnp.float32)
     w["wf"] = jnp.asarray(params["feature_linear"]["weight"]).astype(jnp.bfloat16)
     w["bf"] = np.asarray(params["feature_linear"]["bias"], np.float32)
     wv = np.asarray(params["views_linears"][0]["weight"])
@@ -115,15 +112,14 @@ def pack_mlp_weights(params, spec: FusedRenderSpec, extra_dim_real: int):
     w["wrgb"] = _pad_axis(params["rgb_linear"]["weight"], 128, 1).astype(jnp.bfloat16)
     w["brgb"] = _pad_axis(np.asarray(params["rgb_linear"]["bias"], np.float32), 128, 0)
     assert extra_dim_real <= spec.extra_dim
-    w["ba"] = jnp.asarray([[w["ba"]]], jnp.float32)
     return {k: jnp.asarray(v) for k, v in w.items()}
 
 
 def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     """Build the fused render callable.
 
-    fused(weights, mean8 (N*S, 8), var8 (N*S, 8), z_vals (N, S+1),
-          extras (N, extra_dim)) ->
+    fused(weights, o8 (N, 8) [o(3) | radius | pad], d8 (N, 8) [unit d(3)],
+          z_vals (N, S+1), extras (N, extra_dim)) ->
       dict(rgb (N, 3), depth (N,), acc (N,), weights (N, S),
            feat (N, hid), pts (N, 3)).
     """
@@ -131,34 +127,74 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     R = spec.ray_tile
     hid = spec.hid_dim
     T = R * S
-    Sp, Sq, phase, enc_mask = make_spread_matrices(spec)
+    Sp, Sq, phase = make_spread_matrices(spec)
     # Exclusive prefix sum as a matmul: csum[r, s] = sum_{k<s} log_t[r, k]
     # == (log_t @ L^T)[r, s] with L strictly lower triangular.
     tri_excl = jnp.tril(jnp.ones((S, S), jnp.float32), k=-1).T
-    consts = {"_Sp": Sp, "_Sq": Sq, "_phase": phase, "_mask": enc_mask,
-              "_tri": tri_excl}
+    xyz_mask = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32)
+    # Ray->sample expansion: E[t, r] = 1 iff t // S == r.  Expanding per-ray
+    # row vectors to T-major via matmul sidesteps Mosaic's unsupported
+    # lane<->sublane relayouts ((R,S)[:, :, None]-style broadcasts).
+    expand = (np.repeat(np.eye(R, dtype=np.float32), S, axis=0))
+    consts = {"_Sp": Sp, "_Sq": Sq, "_phase": phase, "_tri": tri_excl,
+              "_xyz": xyz_mask, "_E": jnp.asarray(expand)}
 
     weight_names: list = []
 
     def kernel(*refs):
-        n_in = 4 + len(weight_names)
-        mean_ref, var_ref, z_ref, extras_ref = refs[:4]
-        wrefs = dict(zip(weight_names, refs[4:n_in]))
+        n_in = 5 + len(weight_names)
+        o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
+        wrefs = dict(zip(weight_names, refs[5:n_in]))
         rgb_ref, depth_ref, acc_ref, w_out_ref, feat_ref, pts_ref = refs[n_in:]
 
-        mean8 = mean_ref[...]                     # (T, 8)
-        var8 = var_ref[...]
+        o8 = o_ref[...]                           # (R, 8): o | radius | 0...
+        d8 = d_ref[...]                           # (R, 8): unit d | 0...
+        z = z_ref[...]                            # (R, S+1)
+        xyz = wrefs["_xyz"][...]
+
+        # ---- conical-frustum Gaussian moments (stable form) ----
+        t0, t1 = z[:, :-1], z[:, 1:]
+        mu = (t0 + t1) / 2.0
+        hw = (t1 - t0) / 2.0
+        denom = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
+        t_mean = mu + (2.0 * mu * hw**2) / denom
+        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
+            hw**4 * (12.0 * mu**2 - hw**2)) / denom**2
+        radius = o8[:, 3:4]
+        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                             - (4.0 / 15.0) * hw**4 / denom)
+
+        # ---- fused cast + IPE via linearity of the spread transform ----
+        def rowmm(a, B):
+            return jnp.dot(a, B, preferred_element_type=jnp.float32)
+
+        oS = rowmm(o8 * xyz, wrefs["_Sp"][...])   # (R, 128)
+        dS = rowmm(d8, wrefs["_Sp"][...])
+        d_sq = d8 * d8
+        null_sq = xyz - d_sq
+        dQ = rowmm(d_sq, wrefs["_Sq"][...])
+        nQ = rowmm(null_sq, wrefs["_Sq"][...])
+
+        # Expand per-ray rows to T-major (E @ rows) and take per-sample
+        # scalars from the T-major input (lane-1 -> lane-128 broadcasts are
+        # native; (R,S) lane->sublane moves are not).
+        E = wrefs["_E"][...]                      # (T, R)
+        oS_T = rowmm(E, oS)                       # (T, 128)
+        dS_T = rowmm(E, dS)
+        dQ_T = rowmm(E, dQ)
+        nQ_T = rowmm(E, nQ)
+        tm = tmvr_ref[...]                        # (T, 8): t_mean|t_var|r_var
+        t_col = tm[:, 0:1]
+        tv_col = tm[:, 1:2]
+        rv_col = tm[:, 2:3]
+
+        pre = oS_T + t_col * dS_T + wrefs["_phase"][...]   # (T, 128)
+        vs = tv_col * dQ_T + rv_col * nQ_T
+        xb = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
 
         def mm(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b,
                            preferred_element_type=jnp.float32)
-
-        pre = jnp.dot(mean8, wrefs["_Sp"][...],
-                      preferred_element_type=jnp.float32) + wrefs["_phase"][...]
-        damp = jnp.exp(-0.5 * jnp.dot(var8, wrefs["_Sq"][...],
-                                      preferred_element_type=jnp.float32))
-        x = (damp * jnp.sin(pre)) * wrefs["_mask"][...]  # (T, 128) f32
-        xb = x.astype(jnp.bfloat16)
 
         h = jax.nn.relu(mm(xb, wrefs["w0"][...]) + wrefs["b0"][...])
         feat_tap = h
@@ -170,17 +206,14 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             if i == spec.feat_layer:
                 feat_tap = h
 
-        # Heads.
-        feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]     # (T, hid)
-        h_tap3 = h.reshape(R, S, hid)            # free: lane dim preserved
-        # Density head as an elementwise mul + lane reduce (rank-1 weight).
+        # ---- heads (rank-2 dots only; (T,C)<->(R,S,C) reshapes are free) ----
+        feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]      # (T, hid)
+        h_tap3 = h.reshape(R, S, hid)
         sigma_raw = jnp.sum(h_tap3 * wrefs["wa"][...][None, None, :],
-                            axis=-1) + wrefs["ba"][0, 0]          # (R, S)
+                            axis=-1) + wrefs["ba"][0, 0]           # (R, S)
 
-        # View branch in flat (T, C) space: Mosaic only lowers rank-2 dots,
-        # and (T, C) <-> (R, S, C) reshapes are free (lane dim preserved).
-        extras = extras_ref[...]                 # (R, E)
-        hv_t = mm(feature, wrefs["wvh"][...])    # (T, hid//2 pad)
+        extras = extras_ref[...]                  # (R, E)
+        hv_t = mm(feature, wrefs["wvh"][...])     # (T, hid//2)
         hv = jax.nn.relu(
             hv_t.reshape(R, S, -1)
             + jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
@@ -189,16 +222,15 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         rgb_t = mm(hv.reshape(T, -1), wrefs["wrgb"][...]) + wrefs["brgb"][...]
         rgb = jax.nn.sigmoid(rgb_t).reshape(R, S, -1)  # cols 0:3 real
 
-        # Compositing.
-        z = z_ref[...]                           # (R, S+1)
-        dists = z[:, 1:] - z[:, :-1]
-        z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+        # ---- compositing ----
+        dists = t1 - t0
+        z_mid = mu
         sigma = jax.nn.relu(sigma_raw)
         alpha = 1.0 - jnp.exp(-sigma * dists)
         log_t = jnp.log(1.0 - alpha + 1e-10)
         csum = jnp.dot(log_t, wrefs["_tri"][...],
                        preferred_element_type=jnp.float32)
-        weights = alpha * jnp.exp(csum)          # (R, S)
+        weights = alpha * jnp.exp(csum)           # (R, S)
 
         rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)
         depth = jnp.sum(weights * z_mid, axis=-1, keepdims=True)
@@ -208,25 +240,40 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
         feat3 = feat_tap.reshape(R, S, hid)
         feat_map = jnp.sum(weights[:, :, None] * feat3, axis=1)
-        # Composited sample positions from the raw means (cols 0:3 of mean8).
-        mean3 = mean8.reshape(R, S, 8)
-        pts_map = jnp.sum(weights[:, :, None] * mean3, axis=1)
+        # Composited points: sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
+        tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
+        pts_map = (o8 * acc + d8 * tw) * xyz      # (R, 8); cols 0:3 real
 
-        rgb_ref[...] = rgb_map                   # (R, 128); cols 0:3 real
+        rgb_ref[...] = rgb_map                    # (R, 128); cols 0:3 real
         depth_ref[...] = depth
         acc_ref[...] = acc
         w_out_ref[...] = weights
         feat_ref[...] = feat_map
-        pts_ref[...] = pts_map                   # (R, 8); cols 0:3 real
+        pts_ref[...] = pts_map
 
-    def fused(weights_packed: dict, mean8, var8, z_vals, extras):
+    def fused(weights_packed: dict, o8, d8, z_vals, extras):
         weights_packed = {**weights_packed, **consts}
         weight_names.clear()
         weight_names.extend(sorted(weights_packed.keys()))
         N = z_vals.shape[0]
         assert N % R == 0, f"ray count {N} % tile {R} != 0"
-        assert mean8.shape == (N * S, 8)
         grid = (N // R,)
+
+        # Per-sample Gaussian scalars in T-major layout (XLA side: cheap
+        # (N, S) math + one reshape).
+        t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
+        mu = (t0 + t1) / 2.0
+        hw = (t1 - t0) / 2.0
+        den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
+        t_mean = mu + (2.0 * mu * hw**2) / den
+        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
+            hw**4 * (12.0 * mu**2 - hw**2)) / den**2
+        radius = o8[:, 3:4]
+        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                             - (4.0 / 15.0) * hw**4 / den)
+        tmvr = jnp.stack(
+            [t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
+        tmvr = _pad_axis(tmvr, 8, 1)
 
         def const_spec(arr):
             nd = arr.ndim
@@ -234,9 +281,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                                 memory_space=pltpu.VMEM)
 
         in_specs = [
-            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [const_spec(weights_packed[k]) for k in weight_names]
@@ -259,7 +307,7 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         outs = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
-        )(mean8, var8, z_vals, extras,
+        )(o8, d8, z_vals, tmvr, extras,
           *[weights_packed[k] for k in weight_names])
         rgb_p, depth, acc, w, feat, pts_p = outs
         return dict(rgb=rgb_p[:, :3], depth=depth[:, 0], acc=acc[:, 0],
@@ -268,14 +316,15 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     return fused
 
 
-def prepare_fused_inputs(mean, var, viewdirs_pe, app=None):
-    """(N, S, 3) gaussians + (N, Ddir) encoded dirs -> kernel input layout."""
-    N, S, _ = mean.shape
-    mean8 = _pad_axis(mean.reshape(N * S, 3), 8, 1)
-    var8 = _pad_axis(var.reshape(N * S, 3), 8, 1)
-    extras = viewdirs_pe if app is None else jnp.concatenate(
-        [viewdirs_pe, app], axis=-1)
-    return mean8, var8, extras
+def prepare_ray_inputs(rays):
+    """(N, 12) packed rays -> (o8 [o|radius|0...], d8 [unit d|0...])."""
+    n = rays.shape[0]
+    o = rays[:, 0:3]
+    d = rays[:, 8:11]  # viewdirs (unit)
+    radii = rays[:, 11:12]
+    o8 = jnp.concatenate([o, radii, jnp.zeros((n, 4))], axis=-1)
+    d8 = _pad_axis(d, 8, 1)
+    return o8, d8
 
 
 def make_fused_hierarchical(renderer, interpret: bool = False,
@@ -283,14 +332,12 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     """Fused two-stage (coarse->resample->fine) eval render.
 
     Mirrors ``NerfRenderer.render_rays(train=False, ret_pfeat=True,
-    validation=True)`` with both MLP+composite stages in the fused kernel and
-    the mip Gaussian (re)sampling in XLA.  Returns
-    ``render(params_coarse_packed, params_fine_packed, rays) -> preds`` plus a
-    ``pack(params)`` helper.
+    validation=True)``: both Gaussian-cast+MLP+composite stages run in the
+    fused kernel; only the inverse-CDF z resampling runs in XLA.
+    Returns (render(w_coarse, w_fine, rays) -> preds, pack(params)).
     """
-    from ...nerf.sampling import sample_gaussians_along_rays, \
-        resample_gaussians_along_rays
     from ...nerf.embedding import pe_embedding
+    from ...nerf.sampling import resample_z_from_weights
 
     cfg = renderer.cfg
     fine_cfg = renderer.fine_cfg
@@ -310,22 +357,17 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
                                  extra_dim_real=renderer.dirs_emb_dim))
 
     def render(w_coarse, w_fine, rays):
-        o, d = rays[:, :3], rays[:, 3:6]
         near, far = rays[:, 6:7], rays[:, 7:8]
-        radii = rays[:, 11:12]
-        viewdirs = rays[:, 8:11]
-        dirs_pe = pe_embedding(viewdirs, cfg.dirs_num_freqs)
+        o8, d8 = prepare_ray_inputs(rays)
+        dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)
         extras = _pad_axis(dirs_pe, spec.extra_dim, 1)
 
-        z_vals, (mean, var) = sample_gaussians_along_rays(
-            o, d, radii, S, near, far, randomized=False)
-        m8, v8, _ = prepare_fused_inputs(mean, var, dirs_pe)
-        coarse = fused(w_coarse, m8, v8, z_vals, extras)
+        t = jnp.linspace(0.0, 1.0, S + 1)
+        z_vals = near * (1.0 - t) + far * t
+        coarse = fused(w_coarse, o8, d8, z_vals, extras)
 
-        z_vals_f, (mean_f, var_f) = resample_gaussians_along_rays(
-            o, d, radii, z_vals, coarse["weights"], randomized=False)
-        m8f, v8f, _ = prepare_fused_inputs(mean_f, var_f, dirs_pe)
-        fine = fused(w_fine, m8f, v8f, z_vals_f, extras)
+        z_vals_f = resample_z_from_weights(z_vals, coarse["weights"])
+        fine = fused(w_fine, o8, d8, z_vals_f, extras)
 
         return {
             "rgb_coarse": coarse["rgb"], "depth_coarse": coarse["depth"],

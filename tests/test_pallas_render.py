@@ -14,7 +14,7 @@ from nerfmatch_tpu.ops.pallas.render_kernel import (
     make_fused_render,
     make_spread_matrices,
     pack_mlp_weights,
-    prepare_fused_inputs,
+    prepare_ray_inputs,
 )
 
 F = 15
@@ -42,14 +42,16 @@ def setup():
     z_vals, (mean, var) = sample_gaussians_along_rays(
         o, d, radii, S, near, far, randomized=False)
     dirs_pe = pe_embedding(d, 4)
-    return cfg, params, z_vals, mean, var, d, dirs_pe
+    o8 = jnp.concatenate([o, radii, jnp.zeros((N_RAYS, 4))], axis=-1)
+    d8 = jnp.pad(d, ((0, 0), (0, 5)))
+    return cfg, params, z_vals, mean, var, d, dirs_pe, o8, d8
 
 
 def test_spread_matrices_match_ipe(setup):
     """mean @ Sp (+phase) reproduces the reference IPE encode layout."""
-    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+    cfg, params, z_vals, mean, var, d, dirs_pe, o8, d8 = setup
     spec = FusedRenderSpec(num_freqs=F)
-    Sp, Sq, phase, mask = make_spread_matrices(spec)
+    Sp, Sq, phase = make_spread_matrices(spec)
 
     m = mean.reshape(-1, 3)
     v = var.reshape(-1, 3)
@@ -57,16 +59,17 @@ def test_spread_matrices_match_ipe(setup):
     v8 = jnp.pad(v, ((0, 0), (0, 5)))
     pre = m8 @ Sp + phase
     damp = jnp.exp(-0.5 * (v8 @ Sq))
-    enc_kernel = (damp * jnp.sin(pre)) * mask
+    enc_kernel = damp * jnp.sin(pre)
 
     enc_ref, _ = ipe_embedding(m, v, F)
     assert np.allclose(np.asarray(enc_kernel[:, : 2 * 3 * F]),
                        np.asarray(enc_ref), atol=2e-5)
+    # Padded cols: sin(0)=0 since Sp rows 3.. are zero and phase 0 there.
     assert np.allclose(np.asarray(enc_kernel[:, 2 * 3 * F :]), 0.0)
 
 
 def test_fused_kernel_matches_xla(setup):
-    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+    cfg, params, z_vals, mean, var, d, dirs_pe, o8, d8 = setup
 
     # --- XLA reference path
     enc, _ = ipe_embedding(mean, var, F)
@@ -83,9 +86,8 @@ def test_fused_kernel_matches_xla(setup):
                            feat_layer=3, white_bg=False)
     fused = make_fused_render(spec, interpret=True)
     w = pack_mlp_weights(params, spec, extra_dim_real=DIRS_DIM)
-    mean8, var8, extras = prepare_fused_inputs(mean, var, dirs_pe)
-    extras = jnp.pad(extras, ((0, 0), (0, 128 - extras.shape[1])))
-    out = fused(w, mean8, var8, z_vals, extras)
+    extras = jnp.pad(dirs_pe, ((0, 0), (0, 128 - dirs_pe.shape[1])))
+    out = fused(w, o8, d8, z_vals, extras)
 
     # bf16 trunk -> tolerances are relative-coarse but must track closely.
     assert np.allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
@@ -105,19 +107,18 @@ def test_fused_kernel_matches_xla(setup):
 
 def test_fused_kernel_multi_tile(setup):
     """Grid over multiple ray tiles stitches outputs correctly."""
-    cfg, params, z_vals, mean, var, d, dirs_pe = setup
+    cfg, params, z_vals, mean, var, d, dirs_pe, o8, d8 = setup
     spec = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
-                           samples=S, ray_tile=16, feat_layer=3)
+                           samples=S, ray_tile=8, feat_layer=3)
     fused = make_fused_render(spec, interpret=True)
     w = pack_mlp_weights(params, spec, extra_dim_real=DIRS_DIM)
-    mean8, var8, extras = prepare_fused_inputs(mean, var, dirs_pe)
-    extras = jnp.pad(extras, ((0, 0), (0, 128 - extras.shape[1])))
-    out2 = fused(w, mean8, var8, z_vals, extras)
+    extras = jnp.pad(dirs_pe, ((0, 0), (0, 128 - dirs_pe.shape[1])))
+    out2 = fused(w, o8, d8, z_vals, extras)
 
     spec1 = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
                             samples=S, ray_tile=N_RAYS, feat_layer=3)
     fused1 = make_fused_render(spec1, interpret=True)
-    out1 = fused1(w, mean8, var8, z_vals, extras)
+    out1 = fused1(w, o8, d8, z_vals, extras)
     assert np.allclose(np.asarray(out1["rgb"]), np.asarray(out2["rgb"]),
                        atol=1e-5)
     assert np.allclose(np.asarray(out1["feat"]), np.asarray(out2["feat"]),
