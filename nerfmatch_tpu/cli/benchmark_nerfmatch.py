@@ -85,7 +85,8 @@ def eval_ckpt(args):
         inerf_conf=inerf_conf, debug=args.debug,
         cached_pt=not args.no_cache_pt, cache_dir=args.cache_dir,
         cache_iters=args.cache_iters, retrieval_only=args.retrieval_only,
-        match_oracle=args.match_oracle, seed=args.seed)
+        match_oracle=args.match_oracle, seed=args.seed,
+        visualize=args.visualize)
 
 
 def benchmark(args):
@@ -161,6 +162,7 @@ def build_parser():
     p.add_argument("--no_cache_pt", action="store_true")
     p.add_argument("--retrieval_only", action="store_true")
     p.add_argument("--match_oracle", action="store_true")
+    p.add_argument("--visualize", action="store_true")
     p.add_argument("--seeds", type=int, nargs="*", default=[])
     p.add_argument("--feats", type=str, nargs="*", default=[])
     return p

@@ -167,7 +167,8 @@ def inerf_refinement(evaluator, batch, renderer, renderer_params,
                      unnorm_scene, c2w_est, inerf_conf, mutual: bool = True,
                      match_thres: float = 0.0, solver: str = "colmap",
                      rthres: float = 1.0, cache_iters: bool = False,
-                     iter_t_errs=None, iter_R_errs=None, debug: bool = False):
+                     iter_t_errs=None, iter_R_errs=None, debug: bool = False,
+                     overlay_ims=None):
     """Refine ``c2w_est`` (world frame); returns (c2w_est, R_err, t_err)."""
     lrate = float(getattr(inerf_conf, "lrate", 0.001))
     lrdecay = bool(getattr(inerf_conf, "lrdecay", False))
@@ -215,6 +216,15 @@ def inerf_refinement(evaluator, batch, renderer, renderer_params,
             delta, opt_state, jnp.asarray(j, jnp.float32), init_pose,
             rparams, img_ds, match_ctx)
         evaluator.timer["inerf_step_time"].append(_time.perf_counter() - tj)
+
+        if overlay_ims is not None:
+            # Blend the refined render over the downsampled query for the
+            # failure-case GIF (reference :457-461).
+            hw = int(np.sqrt(rgb.shape[0]))
+            rendered = np.clip(np.asarray(rgb).reshape(hw, hw, 3), 0, 1)
+            query = np.asarray(img_ds).reshape(hw, hw, 3)
+            overlay_ims.append(
+                (255 * np.clip(0.7 * rendered + 0.3 * query, 0, 1)).astype("uint8"))
 
         if debug or cache_iters or j == num_optim - 1:
             pose_n = np.asarray(_apply_delta(init_pose, delta))

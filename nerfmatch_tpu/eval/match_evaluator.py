@@ -252,7 +252,8 @@ class NeRFMatchEvaluator:
                    solver: str = "colmap", rthres: float = 1.0,
                    center_subpixel: bool = False, query2query: bool = False,
                    retrieval_only: bool = False, cached_pt: bool = True,
-                   cache_iters: bool = False, debug: bool = False):
+                   cache_iters: bool = False, debug: bool = False,
+                   overlay_ims=None):
         """Per-query localization with optional iterative re-rendering."""
         K = np.asarray(batch["K"])[0]
         if "unnorm_scene" in batch:
@@ -305,7 +306,8 @@ class NeRFMatchEvaluator:
                     c2w_est, inerf_conf, mutual=mutual,
                     match_thres=match_thres, solver=solver, rthres=rthres,
                     cache_iters=cache_iters, iter_t_errs=iter_t_errs,
-                    iter_R_errs=iter_R_errs, debug=debug)
+                    iter_R_errs=iter_R_errs, debug=debug,
+                    overlay_ims=overlay_ims)
                 if np.isfinite(res[1]):
                     c2w_est, R_err, t_err = res
 
@@ -329,17 +331,29 @@ class NeRFMatchEvaluator:
                          query2query: bool = False, cached_pt: bool = True,
                          debug: bool = False, inerf_conf=None,
                          retrieval_only: bool = False,
-                         cache_iters: bool = False):
+                         cache_iters: bool = False, visualize: bool = False):
         data_loader = data_loader or self.data_loader
         metrics = defaultdict(list)
+        vis_dir = None
+        if visualize:
+            scene = getattr(data_loader.dataset, "scene", "scene")
+            vis_dir = self.cache_dir / "visualization" / scene
+            vis_dir.mkdir(parents=True, exist_ok=True)
         for i, batch in enumerate(data_loader):
+            overlay_ims = [] if visualize else None
             im = self.eval_batch(
                 batch, renderer, renderer_params, inerf_conf, iters=iters,
                 rthres=rthres, center_subpixel=center_subpixel, solver=solver,
                 mutual=mutual, match_thres=match_thres,
                 match_oracle=match_oracle, query2query=query2query,
                 retrieval_only=retrieval_only, cached_pt=cached_pt,
-                cache_iters=cache_iters, debug=debug)
+                cache_iters=cache_iters, debug=debug, overlay_ims=overlay_ims)
+            if visualize and overlay_ims and im["t_err"][0] * 100 > 50:
+                # Failure case (>50cm): dump the refinement overlay GIF.
+                import imageio
+
+                name = f"{i}_t{im['t_err'][0] * 100:.1f}cm"                        f"_R{im['R_err'][0]:.1f}deg.gif"
+                imageio.mimwrite(vis_dir / name, overlay_ims, duration=250)
             for k in ["R_err", "t_err", "num_matches", "iter_t_errs",
                       "iter_R_errs"]:
                 if k in im and len(im[k]):
@@ -371,7 +385,8 @@ class NeRFMatchEvaluator:
                           stop_layer: int = -1, debug: bool = False,
                           cache_dir=None, cache_iters: bool = False,
                           retrieval_only: bool = False,
-                          match_oracle: bool = False, seed=None):
+                          match_oracle: bool = False, seed=None,
+                          visualize: bool = False):
         """Scene loop with tag-keyed result caching + cross-scene averages."""
         if cache_dir:
             self.cache_dir = Path(cache_dir)
@@ -421,7 +436,7 @@ class NeRFMatchEvaluator:
                     match_oracle=match_oracle, data_loader=loader,
                     query2query=query2query, cached_pt=cached_pt, debug=debug,
                     inerf_conf=inerf_conf, retrieval_only=retrieval_only,
-                    cache_iters=cache_iters)
+                    cache_iters=cache_iters, visualize=visualize)
                 for k, v in self.timer.items():
                     metrics[k] = np.asarray(v)
                 np.save(cache_path, metrics)

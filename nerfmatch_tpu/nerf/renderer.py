@@ -279,13 +279,68 @@ class NerfRenderer:
     def render_fn(self):
         return self._render_jit
 
+    @property
+    def fused_eval_supported(self) -> bool:
+        """The fused Pallas path covers the production eval config: mip
+        hierarchy, viewdirs, 128 samples, no appearance table."""
+        return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
+                and self.fine_cfg is not None
+                and self.fine_cfg.num_pts == 128
+                and not self.cfg.appearance_embedding)
+
+    @functools.cached_property
+    def _fused_eval(self):
+        from ..ops.pallas.render_kernel import make_fused_hierarchical
+
+        render, pack = make_fused_hierarchical(self)
+        fn = jax.jit(lambda wc, wf, rays: render(wc, wf, rays))
+        return fn, pack
+
+    def fused_predict(self, params, rays, w: int | None = None,
+                      h: int | None = None, chunk_rays: int = 9216):
+        """Eval render through the fused kernel (rgb/depth/feat/pts only)."""
+        fn, pack = self._fused_eval
+        wc, wf = pack(params)
+        n = rays.shape[0]
+        # Pad to a 128-ray multiple (one compile per distinct padded size);
+        # chunk only batches larger than chunk_rays.
+        n_pad = (-n) % 128
+        rays_np = np.asarray(rays)
+        rays_p = np.concatenate(
+            [rays_np, np.broadcast_to(rays_np[-1:], (n_pad, rays_np.shape[-1]))]
+        ) if n_pad else rays_np
+        step = chunk_rays if rays_p.shape[0] > chunk_rays else rays_p.shape[0]
+        step = max(step - step % 128, 128)
+        chunks = []
+        for i in range(0, rays_p.shape[0], step):
+            part = rays_p[i : i + step]
+            if part.shape[0] % 128:
+                pad = 128 - part.shape[0] % 128
+                part = np.concatenate(
+                    [part, np.broadcast_to(part[-1:], (pad, part.shape[-1]))])
+            chunks.append(fn(wc, wf, jnp.asarray(part)))
+        preds = {k: np.concatenate([np.asarray(c[k]) for c in chunks])[:n]
+                 for k in chunks[0]}
+        if w is not None and h is not None:
+            for k in ["rgb_coarse", "depth_coarse", "rgb_fine", "depth_fine"]:
+                if k in preds and preds[k].shape[0] == h * w:
+                    preds[k] = preds[k].reshape(h, w, -1)
+        return preds
+
     def predict(self, params, rays, w: int | None = None, h: int | None = None,
-                ray_id=None, ret_pfeat: bool = False, chunk_rays: int = 4096):
+                ray_id=None, ret_pfeat: bool = False, chunk_rays: int = 4096,
+                use_fused: bool | None = None):
         """Full-batch eval render with host-side fixed-shape chunking.
 
         Pads the ray batch to a multiple of ``chunk_rays`` so only one program
         is compiled, then strips padding and reshapes image-shaped outputs.
+        ``use_fused`` (default: auto when supported and features are
+        requested) routes through the fused Pallas kernel.
         """
+        if use_fused is None:
+            use_fused = ret_pfeat and ray_id is None and self.fused_eval_supported
+        if use_fused and self.fused_eval_supported:
+            return self.fused_predict(params, rays, w, h)
         n = rays.shape[0]
         n_pad = (-n) % chunk_rays
         rays_p = np.concatenate(

@@ -171,6 +171,9 @@ def train(config):
     best_psnr = -np.inf
     batch_size = exp.batch_size
     max_steps = 10 if debug else None
+    profile_dir = getattr(exp, "profile_dir", None)
+    if profile_dir:
+        from ..utils.profiling import trace as profiler_trace
 
     for epoch in range(start_epoch, exp.max_epochs):
         if trainer.lr_sched is not None:
@@ -179,6 +182,12 @@ def train(config):
         for i, batch in enumerate(train_set.ray_batches(batch_size, rng)):
             if max_steps and i >= max_steps:
                 break
+            if profile_dir and epoch == start_epoch and i == 2:
+                # Trace a few warm steps once per run.
+                from ..utils import profiling as _prof
+                jax.profiler.start_trace(str(profile_dir))
+            if profile_dir and epoch == start_epoch and i == 5:
+                jax.profiler.stop_trace()
             key, k = jax.random.split(key)
             sb = shard_batch(batch, mesh)
             params, opt_state, metrics = step_fn(

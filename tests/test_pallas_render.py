@@ -123,3 +123,51 @@ def test_fused_kernel_multi_tile(setup):
                        atol=1e-5)
     assert np.allclose(np.asarray(out1["feat"]), np.asarray(out2["feat"]),
                        atol=1e-4)
+
+
+def test_fused_hierarchical_matches_renderer():
+    """Full two-stage fused pipeline vs NerfRenderer.render_rays (interpret)."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    assert renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-0.2, 0.2, (16, 3))
+    d = rng.normal(size=(16, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((16, 1), 0.05), np.full((16, 1), 1.4), d,
+         np.full((16, 1), 0.002)], -1).astype(np.float32)
+
+    ref = renderer.render_rays(params, jnp.asarray(rays), train=False,
+                               ret_pfeat=True, validation=True)
+
+    render, pack = make_fused_hierarchical(renderer, interpret=True)
+    wc, wf = pack(params)
+    out = render(wc, wf, jnp.asarray(rays))
+
+    assert np.allclose(np.asarray(out["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=2e-2)
+    assert np.allclose(np.asarray(out["depth_fine"]),
+                       np.asarray(ref["depth_fine"]), atol=2e-2)
+    f_rel = (np.abs(np.asarray(out["feat_fine"]) -
+                    np.asarray(ref["feat_fine"])).max()
+             / (np.abs(np.asarray(ref["feat_fine"])).max() + 1e-9))
+    assert f_rel < 0.1, f_rel
+    assert np.allclose(np.asarray(out["pts_fine"]),
+                       np.asarray(ref["pts_fine"]), atol=2e-2)
