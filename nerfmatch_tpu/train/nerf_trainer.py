@@ -115,6 +115,26 @@ class NerfTrainer:
         return step
 
     # ------------------------------------------------------------------
+    def validate_pair(self, params, sample, ds: int = 8):
+        """Pair-based pose validation (reference ``find_closest`` val path):
+        render both images of a retrieval pair on the ds grid and compute
+        depth/match pose metrics."""
+        from ..nerf.rays import sample_nerf_rays
+        from ..utils.metrics import compute_nerf_pose_metrics
+
+        rays = np.asarray(sample["rays"]).reshape(-1, 12)
+        w, h = [int(x) for x in np.asarray(sample["img_wh"]).reshape(-1)[:2]]
+        # Subsample the stacked pair's rays on the ds grid.
+        n_img = len(rays) // 2
+        grid_idx = (np.arange(h // ds)[:, None] * w * ds
+                    + np.arange(w // ds)[None, :] * ds
+                    + (ds // 2) * w + ds // 2).reshape(-1)
+        idx = np.concatenate([grid_idx, n_img + grid_idx])
+        preds = self.renderer.predict(
+            params, jnp.asarray(rays[idx]), ret_pfeat=True, use_fused=False)
+        return compute_nerf_pose_metrics(
+            preds["pts_fine"], preds["feat_fine"], sample, ds=ds)
+
     def validate_image(self, params, sample, max_rays: int = 230400):
         """Render one full val image; returns (metrics, preds)."""
         rays = np.asarray(sample["rays"]).reshape(-1, 12)[:max_rays]
@@ -209,7 +229,12 @@ def train(config):
                     break
                 sample = {k_: (v[0] if isinstance(v, (np.ndarray, list)) else v)
                           for k_, v in sample.items()}
-                m, preds = trainer.validate_image(params, sample)
+                if "c2w" in sample and np.asarray(sample["c2w"]).size == 32:
+                    # Retrieval-pair val sample -> pose metrics.
+                    m = trainer.validate_pair(params, sample)
+                    preds = {}
+                else:
+                    m, preds = trainer.validate_image(params, sample)
                 val_ms.append(m)
                 if vi < getattr(exp, "log_num_max", 4):
                     if "rgb_fine" in preds and np.ndim(preds["rgb_fine"]) == 3:

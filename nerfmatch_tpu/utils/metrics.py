@@ -225,6 +225,81 @@ def compute_pose_metrics_host(batch_matches, solver: str = "native",
     return metrics
 
 
+def compute_nerf_pose_metrics(pts_fine, pts_feat, data, ds: int = 8,
+                              ransac_thres: float = 1.0,
+                              solver: str = "native"):
+    """NeRF validation pose metrics from a rendered retrieval pair.
+
+    Mirrors ``metrics.py:99-177``: the val sample stacks two images' rays
+    (query + retrieved ref); the rendered fine points of each image localize
+    the *other* image (depth-based PnP on the projected ds-grid), and
+    mutual-NN matching of the rendered features gives a match-based pose
+    error.  All host-side numpy.
+
+    pts_fine: (2*H*W//ds^2, 3) scene-normalized points; pts_feat matching
+    features; data dict with c2w (2 stacked 4x4), K (2 stacked 3x3), img_wh,
+    unnorm_scene.
+    """
+    w, h = [int(x) for x in np.asarray(data["img_wh"]).reshape(-1)[:2]]
+    gw, gh = w // ds, h // ds
+    n = gw * gh
+
+    c2w = np.asarray(data["c2w"], np.float64).reshape(2, 4, 4)
+    K = np.asarray(data["K"], np.float64).reshape(2, 3, 3)
+    unnorm = np.asarray(data["unnorm_scene"], np.float64)
+
+    pts = np.asarray(pts_fine, np.float64).reshape(2, n, 3)
+    # Un-normalize to world coords.
+    pts_h = np.concatenate([pts, np.ones((2, n, 1))], -1)
+    pts_w = np.einsum("ij,bnj->bni", unnorm, pts_h)[..., :3]
+
+    # ds-grid pixel centers (the rays were subsampled at ds//2::ds).
+    xs, ys = np.meshgrid(np.arange(gw), np.arange(gh), indexing="xy")
+    pt2d = (np.stack([xs, ys], -1).reshape(-1, 2) * ds + ds / 2.0)
+
+    metrics = {}
+    # Part 1: depth-based — each image's grid pixels vs the OTHER image's
+    # 3D points projected into it.
+    r_errs, t_errs = [], []
+    for i in range(2):
+        other = 1 - i
+        r_err, t_err, _ = compute_pose_errs(
+            K[i], c2w[i], pts_w[other], pt2d, solver=solver,
+            ransac_thres=ransac_thres)
+        r_errs.append(r_err)
+        t_errs.append(t_err)
+    metrics["R_err_depth"] = float(np.mean(r_errs))
+    metrics["t_err_depth"] = float(np.mean(t_errs)) * 100
+
+    # Part 2: feature matching — mutual NN between the two feature maps.
+    from .geometry import mutual_nn_matching
+    import jax.numpy as jnp
+
+    f1, f2 = np.asarray(pts_feat, np.float64).reshape(2, n, -1)
+    matches, scores, valid = mutual_nn_matching(
+        jnp.asarray(f1, jnp.float32), jnp.asarray(f2, jnp.float32))
+    matches = np.asarray(matches)[np.asarray(valid)]
+    scores = np.asarray(scores)[np.asarray(valid)]
+    metrics["match_score"] = float(scores.mean()) if len(scores) else 0.0
+    metrics["num_matches"] = int(len(matches))
+
+    r_errs, t_errs = [], []
+    if len(matches) >= 4:
+        # im1 pixels <-> im2 points and vice versa.
+        r1, t1, _ = compute_pose_errs(K[0], c2w[0], pts_w[1][matches[:, 1]],
+                                      pt2d[matches[:, 0]], solver=solver,
+                                      ransac_thres=ransac_thres)
+        r2, t2, _ = compute_pose_errs(K[1], c2w[1], pts_w[0][matches[:, 0]],
+                                      pt2d[matches[:, 1]], solver=solver,
+                                      ransac_thres=ransac_thres)
+        r_errs, t_errs = [r1, r2], [t1, t2]
+    else:
+        r_errs, t_errs = [np.inf], [np.inf]
+    metrics["R_err_match"] = float(np.mean(r_errs))
+    metrics["t_err_match"] = float(np.mean(t_errs)) * 100
+    return metrics
+
+
 # ---------------------------------------------------------------------------
 # Summaries (host)
 # ---------------------------------------------------------------------------

@@ -161,3 +161,26 @@ def test_eval_batch_pose_shapes(scene):
     out = eval_batch_pose(model, params, _model_inputs(batch), rthres=6)
     assert len(out["R_err"]) == 1
     assert np.isfinite(out["R_err"][0]) or np.isinf(out["R_err"][0])
+
+
+def test_nerf_pair_validation_metrics(scene, tmp_path):
+    """Retrieval-pair val samples produce depth/match pose metrics."""
+    import jax
+    from nerfmatch_tpu.train.nerf_trainer import NerfTrainer
+    from nerfmatch_tpu.data import init_data_loader
+
+    cfg = nerf_train_config(scene, tmp_path)
+    cfg.data.train_pair_txt = str(scene["root"] / "pairs.txt")
+    loader = init_data_loader(cfg.data, 0, split="val")
+    sample = next(iter(loader))
+    sample = {k: (v[0] if isinstance(v, (np.ndarray, list)) else v)
+              for k, v in sample.items()}
+    assert np.asarray(sample["c2w"]).size == 32  # stacked pair
+    trainer = NerfTrainer(cfg, num_frames=1)
+    params, _ = trainer.init_state(0)
+    m = trainer.validate_pair(params, sample, ds=8)
+    for k in ["R_err_depth", "t_err_depth", "R_err_match", "t_err_match",
+              "match_score", "num_matches"]:
+        assert k in m
+    # Untrained NeRF -> errors can be inf but must be well-formed numbers.
+    assert isinstance(m["num_matches"], int)
