@@ -386,7 +386,8 @@ class NeRFMatchEvaluator:
                           cache_dir=None, cache_iters: bool = False,
                           retrieval_only: bool = False,
                           match_oracle: bool = False, seed=None,
-                          visualize: bool = False):
+                          visualize: bool = False,
+                          shard_scenes: bool = False):
         """Scene loop with tag-keyed result caching + cross-scene averages."""
         if cache_dir:
             self.cache_dir = Path(cache_dir)
@@ -404,6 +405,13 @@ class NeRFMatchEvaluator:
             datasets = init_mixed_dataset(conf, split=split, concat=False)
         else:
             datasets = init_multiscene_dataset(conf, split=split, concat=False)
+
+        if shard_scenes and jax.process_count() > 1:
+            # Scene-level parallelism across hosts/slices: each process takes
+            # a strided subset; summaries are per-process (merge caches with
+            # cli.benchmark_nerfmatch.merge_scene_metrics).  Replaces the
+            # reference's "run each scene manually in parallel" advice.
+            datasets = datasets[jax.process_index()::jax.process_count()]
 
         metr_all = []
         for dataset in datasets:

@@ -116,8 +116,11 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
     def extract_im_feat_ms(self, params, img_nhwc):
         """-> (coarse tokens (B, M, cdim), fine map (B, Hf, Wf, fdim))."""
         cfg = self.cfg
-        fmap_c, fmap_f = backbone_8_2_apply(params["backbone"], self.backbone_cfg,
-                                            img_nhwc)
+        fmap_c, fmap_f = backbone_8_2_apply(
+            self._maybe_bf16(params["backbone"]), self.backbone_cfg,
+            self._maybe_bf16(img_nhwc))
+        fmap_c = fmap_c.astype(jnp.float32)
+        fmap_f = fmap_f.astype(jnp.float32)
         b, h, w, _ = fmap_c.shape
         cfeat = fmap_c.reshape(b, h * w, -1)
         if "cfeat_proj" in params:

@@ -58,6 +58,7 @@ class CoarseMatcherConfig:
     pt_sa_type: str | None = "full"
     cformer_type: str = "crs"       # "crs" | "crsv2"
     coarse_layers: int = 1
+    compute_dtype: str = "float32"  # "bfloat16": bf16 backbone+attention
 
     @classmethod
     def from_namespace(cls, ns):
@@ -137,10 +138,21 @@ class NeRFMatcherCoarse:
         return params
 
     # ------------------------------------------------------------------
+    def _maybe_bf16(self, tree):
+        if self.cfg.compute_dtype != "bfloat16":
+            return tree
+        import jax.numpy as _jnp
+
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(_jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == _jnp.float32 else x, tree)
+
     def extract_im_feat(self, params, img_nhwc):
         """(B, H, W, 3) -> (B, (H/8)*(W/8), cfeat_dim) image tokens."""
         cfg = self.cfg
-        fmap = backbone_apply(params["backbone"], self.backbone_cfg, img_nhwc)
+        fmap = backbone_apply(self._maybe_bf16(params["backbone"]),
+                              self.backbone_cfg, self._maybe_bf16(img_nhwc))
+        fmap = fmap.astype(jnp.float32)
         b, h, w, c = fmap.shape
         feat = fmap.reshape(b, h * w, c)
         if "cfeat_proj" in params:

@@ -46,8 +46,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.dtype == object or arr.ndim == 0:
-            out[k] = v
+        if arr.dtype.kind not in "fiub" or arr.ndim == 0:
+            out[k] = v  # strings / objects / scalars stay host-side
             continue
         out[k] = jax.device_put(arr, data_sharding(mesh, arr.ndim))
     return out
