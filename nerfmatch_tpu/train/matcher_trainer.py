@@ -365,16 +365,22 @@ def _load_pretrained(model, params, model_conf):
     ``nerfmatch_c2f_trainer.py:45-74``)."""
     from .checkpoint import convert_torch_params, load_torch_state_dict
 
-    ckpt = (getattr(model_conf, "c2f_ckpt", None)
-            or getattr(model_conf, "finetune", None)
-            or getattr(model_conf, "coarse_ckpt", None))
+    from ..models.matcher_c2f import NeRFMatcherMS
+
+    c2f_ckpt = getattr(model_conf, "c2f_ckpt", None)
+    finetune = getattr(model_conf, "finetune", None)
+    coarse_ckpt = getattr(model_conf, "coarse_ckpt", None)
+    ckpt = c2f_ckpt or finetune or coarse_ckpt
     if not ckpt or not Path(ckpt).exists():
         return params
     state, _ = load_torch_state_dict(ckpt)
-    is_coarse_ckpt = ckpt == getattr(model_conf, "coarse_ckpt", None)
-    # Coarse ckpts store the bare timm backbone; the MS model nests it
-    # under .model (reference remap "backbone"->"backbone.model").
-    extra = "" if not is_coarse_ckpt else ""
+    # MS-saved ckpts nest timm under backbone.model (MetaFormer_MS wrapper);
+    # coarse-saved ckpts store backbone.* directly — the reference's
+    # "backbone"->"backbone.model" remap (nerfmatch_c2f_trainer.py:45-59)
+    # in template-driven form.
+    is_ms_ckpt = (ckpt == c2f_ckpt
+                  or (ckpt == finetune and isinstance(model, NeRFMatcherMS)))
+    extra = "model." if is_ms_ckpt else ""
     new_params, missing = convert_torch_params(params, state,
                                                backbone_extra=extra)
     logger.info(f"Loaded pretrained {ckpt}; {len(missing)} leaves missing")

@@ -247,3 +247,52 @@ def test_checkpoint_pruning(tmp_path):
         save_checkpoint(tmp_path, s, params, keep=2)
     names = sorted(p.name for p in tmp_path.glob("ckpt_*"))
     assert names == ["ckpt_3", "ckpt_4"]
+
+
+def test_coarse_to_c2f_warm_start_key_surgery(tmp_path):
+    """Coarse-saved and MS-saved torch ckpts both warm-start a c2f model
+    through _load_pretrained (backbone[.model] remap)."""
+    import jax
+    from argparse import Namespace
+    from nerfmatch_tpu.models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
+    from nerfmatch_tpu.train.matcher_trainer import _load_pretrained
+
+    cfg = C2FMatcherConfig(backbone="tiny", pretrained=False, cfeat_dim=32,
+                           ffeat_dim=16, pt_dim=16, im_pe=False, im_sa=0,
+                           im_sa_type=None, pt_sa=0, pt_pe=False,
+                           coarse_layers=0, fine_sa=1)
+    model = NeRFMatcherMS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # Fake MS-saved ckpt: temperature + a backbone.model.* leaf.
+    stem_w = np.random.default_rng(0).normal(
+        size=np.asarray(params["backbone"]["stem"]["conv"]["weight"]).shape
+    ).astype(np.float32)
+    state = {
+        "model.temperature": torch.tensor(3.5),
+        "model.backbone.model.stem.conv.weight": torch.from_numpy(
+            np.transpose(stem_w, (3, 2, 0, 1))),
+    }
+    ckpt_path = tmp_path / "ms.ckpt"
+    torch.save({"state_dict": state, "epoch": 1, "global_step": 1}, ckpt_path)
+    out = _load_pretrained(model, params,
+                           Namespace(c2f_ckpt=str(ckpt_path), finetune=None,
+                                     coarse_ckpt=None))
+    assert float(out["temperature"]) == pytest.approx(3.5)
+    assert np.allclose(np.asarray(out["backbone"]["stem"]["conv"]["weight"]),
+                       stem_w, atol=1e-6)
+
+    # Coarse-saved ckpt: bare backbone.* keys.
+    state2 = {
+        "model.temperature": torch.tensor(7.0),
+        "model.backbone.stem.conv.weight": torch.from_numpy(
+            np.transpose(stem_w * 2, (3, 2, 0, 1))),
+    }
+    ckpt2 = tmp_path / "coarse.ckpt"
+    torch.save({"state_dict": state2, "epoch": 1, "global_step": 1}, ckpt2)
+    out2 = _load_pretrained(model, params,
+                            Namespace(c2f_ckpt=None, finetune=None,
+                                      coarse_ckpt=str(ckpt2)))
+    assert float(out2["temperature"]) == pytest.approx(7.0)
+    assert np.allclose(np.asarray(out2["backbone"]["stem"]["conv"]["weight"]),
+                       stem_w * 2, atol=1e-6)
