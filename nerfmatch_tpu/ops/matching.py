@@ -31,8 +31,14 @@ def dual_softmax(im_feat, pt_feat, temperature, im_mask=None, pt_mask=None,
     im_feat: (B, M, D); pt_feat: (B, N, D); masks: (B, M)/(B, N) in {0,1}.
     Returns (conf (B, M, N), im_feat_n, pt_feat_n).
     """
-    im_n = im_feat / (jnp.linalg.norm(im_feat, axis=-1, keepdims=True) + 1e-6)
-    pt_n = pt_feat / (jnp.linalg.norm(pt_feat, axis=-1, keepdims=True) + 1e-6)
+    # Safe norm: jnp.linalg.norm has a NaN gradient at the zero vector
+    # (all-empty rays produce zero composited features).
+    def _nrm(f):
+        return f / (jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True) + 1e-12)
+                    + 1e-6)
+
+    im_n = _nrm(im_feat)
+    pt_n = _nrm(pt_feat)
     sim = jnp.einsum("bmd,bnd->bmn", im_n, pt_n)
     sim = sim / temperature if temp_type == "div" else sim * temperature
     if im_mask is None:

@@ -209,3 +209,24 @@ def test_generate_7scenes_annotations(tmp_path):
     assert len(meta["frames"]) == 1
     assert meta["frames"][0]["file_path"] == "seq-01/frame-000000.color.png"
     assert np.allclose(meta["frames"][0]["transform_matrix"], np.eye(4))
+
+
+def test_mixed_dataset_concat(scene_dir):
+    """Mixed-dataset config concatenates multiscene datasets."""
+    from nerfmatch_tpu.data import init_mixed_dataset
+
+    base = match_config(scene_dir)
+    cfg = dict2namespace({
+        **{k: v for k, v in vars(base).items()},
+        "datasets": {
+            "a": {"scenes": ["toy"]},
+            "b": {"scenes": ["toy"]},
+        },
+    })
+    # merge_configs(top, sub) gives each sub-dataset the base keys.
+    ds = init_mixed_dataset(cfg, split="train")
+    from nerfmatch_tpu.data import NeRFMatchPair
+    single = NeRFMatchPair(base, split="train")
+    assert len(ds) == 2 * len(single)
+    s = ds[len(single)]  # second dataset's first sample
+    assert s["image"].shape == (H, W, 3)

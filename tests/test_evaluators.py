@@ -273,12 +273,12 @@ def small_nerf_cfg_for_inerf():
     })
 
 
-def _dummy_match_evaluator():
+def _dummy_match_evaluator(pt_dim=FEAT_DIM):
     from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
 
     cfg = dict2namespace({
         "model": {"backbone": "tiny", "pretrained": False, "cfeat_dim": 32,
-                  "pt_dim": FEAT_DIM, "im_pe": False, "im_sa": 0,
+                  "pt_dim": pt_dim, "im_pe": False, "im_sa": 0,
                   "im_sa_type": None, "pt_sa": 0, "pt_sa_type": None,
                   "pt_pe": False, "coarse_layers": 0, "temp_type": "mul"},
         "data": {},
@@ -286,3 +286,33 @@ def _dummy_match_evaluator():
         "ckpt": "eval",
     })
     return NeRFMatchEvaluator(cfg)
+
+
+def test_inerf_with_match_loss_smoke(tmp_path):
+    """iNeRF with the matcher loss term runs and returns finite results."""
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.eval.inerf import inerf_refinement
+    from tests._synthetic import look_at
+
+    cfg = small_nerf_cfg_for_inerf()
+    renderer = NerfRenderer(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    # Matcher pt_dim must equal the NeRF feature dim (hid 32), as in prod.
+    ev = _dummy_match_evaluator(pt_dim=32)
+
+    IM = 32
+    c2w_gt = look_at([0.7, 0.1, 0.0])
+    img = np.random.default_rng(0).uniform(0, 1, (IM, IM, 3)).astype(np.float32)
+    batch = {
+        "image": img[None],
+        "K": np.array([[30.0, 0, IM / 2], [0, 30.0, IM / 2], [0, 0, 1]])[None],
+        "c2w": np.asarray(c2w_gt, np.float32)[None],
+        "im_mask": np.ones((1, 16), np.float32),
+        "pt_mask": np.ones((1, 256), np.float32),
+        "pt2d": np.zeros((1, 16, 2), np.float32),
+    }
+    inerf_conf = dict2namespace({"lrate": 0.01, "num_optim": 2, "ds": 8,
+                                 "eval_pose": True, "use_match_loss": True})
+    c2w_ref, r_err, t_err = inerf_refinement(
+        ev, batch, renderer, params, np.eye(4), c2w_gt, inerf_conf)
+    assert np.all(np.isfinite(np.asarray(c2w_ref)))

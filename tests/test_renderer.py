@@ -153,3 +153,31 @@ def test_render_novel_view():
     assert outs["im_pred"].shape == (8, 8, 3)
     assert outs["pt3d"].shape == (64, 3)
     assert outs["pt_feat"].shape == (64, 32)
+
+
+def test_single_model_renderer():
+    """single_model: the fine MLP serves both hierarchy stages."""
+    cfg = small_render_config()
+    cfg.render.single_model = True
+    delattr(cfg, "coarse_nerf")
+    renderer = NerfRenderer(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    assert "nerf_coarse" not in params
+    preds = renderer.render_rays(params, make_rays(8), train=False)
+    assert preds["rgb_coarse"].shape == (8, 3)
+    assert preds["rgb_fine"].shape == (8, 3)
+
+
+def test_out_scr_heads():
+    """Scene-coordinate-regression heads produce scr_* outputs in training."""
+    cfg = small_render_config()
+    cfg.data.out_scr = True
+    renderer = NerfRenderer(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    assert "pnt_block" in params["nerf_fine"]
+    preds = renderer.render_rays(params, make_rays(8),
+                                 key=jax.random.PRNGKey(1), train=True,
+                                 validation=False)
+    assert "scr_fine" in preds
+    assert preds["scr_fine"].shape == (8, 3)
+    assert np.all(np.isfinite(np.asarray(preds["scr_fine"])))
