@@ -93,16 +93,28 @@ class NerfTrainer:
         opt_state = self.opt.init(params)
         return params, opt_state
 
-    def train_step_fn(self):
+    def train_step_fn(self, use_fused: bool | None = None):
         if self._train_step is not None:
             return self._train_step
         renderer, opt, cnfg_loss = self.renderer, self.opt, self.cnfg_loss
+        if use_fused is None:
+            use_fused = bool(getattr(getattr(self.config, "render", None),
+                                     "use_fused_train", False)) and                 renderer.fused_eval_supported
+
+        fused_render = None
+        if use_fused:
+            from ..ops.pallas.render_train import make_fused_train_hierarchical
+
+            fused_render = make_fused_train_hierarchical(renderer)
 
         @jax.jit
         def step(params, opt_state, rays, rgbs, ts, key, mask=None):
             def loss_fn(p):
-                preds = renderer.render_rays(p, rays, key=key, ray_id=ts,
-                                             train=True)
+                if fused_render is not None:
+                    preds = fused_render(p, rays, key)
+                else:
+                    preds = renderer.render_rays(p, rays, key=key, ray_id=ts,
+                                                 train=True)
                 metrics = compute_nerf_metrics(preds, rgbs, mask_loss=mask,
                                                cnfg_loss=cnfg_loss)
                 return metrics["loss"], metrics
