@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.dsnt import heatmap_expectation_with_std
+from ..ops.gather import take_rows, take_rows_b
 from ..ops.matching import dual_softmax, extract_mutual_matches
 from .attention import init_self_attention_block, self_attention_block_apply, \
     init_encoder_layer
@@ -145,24 +146,28 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         (iy*stride, ix*stride) on the fine map; borders are zero-padded
         (equivalent to torch unfold with padding W//2).
         Returns (L, W*W, Cf).
+
+        TPU note: all Hc*Wc windows are materialized once via W*W strided
+        slices (backward = strided pad-adds), then the match list selects
+        rows with :func:`take_rows` — a vmapped ``dynamic_slice`` would
+        transpose to L serialized scatter-adds in the train backward.
         """
         cfg = self.cfg
         W = cfg.win_sz
         half = W // 2
+        s = cfg.fine_stride
+        B, Hf, Wf, Cf = fmap_f.shape
+        Hc, Wc = Hf // s, Wf // s
         padded = jnp.pad(fmap_f, ((0, 0), (half, half), (half, half), (0, 0)))
 
-        iy = i_ids // coarse_w
-        ix = i_ids % coarse_w
-
-        def one(b, cy, cx):
-            return jax.lax.dynamic_slice(
-                padded, (b, cy * cfg.fine_stride, cx * cfg.fine_stride, 0),
-                (1, W, W, padded.shape[-1]))[0]
-
-        wins = jax.vmap(one)(b_ids, iy, ix)               # (L, W, W, Cf)
-        wins = wins.reshape(wins.shape[0], W * W, -1)
+        shifts = [padded[:, dy:dy + s * Hc:s, dx:dx + s * Wc:s, :]
+                  for dy in range(W) for dx in range(W)]
+        allw = jnp.stack(shifts, axis=3)                  # (B, Hc, Wc, WW, Cf)
+        allw = allw.reshape(B * Hc * Wc, W * W * Cf)
+        wins = take_rows(allw, b_ids * (Hc * Wc) + i_ids)
+        wins = wins.reshape(wins.shape[0], W * W, Cf)
         if cfg.cat_c_feat and "fine_preprocess" in params:
-            c_sel = im_cfeat[b_ids, i_ids]                # (L, cdim)
+            c_sel = take_rows_b(im_cfeat, b_ids, i_ids)   # (L, cdim)
             c_win = linear(params["fine_preprocess"]["down_proj"], c_sel)
             merged = linear(
                 params["fine_preprocess"]["merge_feat"],
@@ -195,7 +200,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         pt_ffeat = pt_cfeat
         for lyr in params["pt_ffeat_proj"]:
             pt_ffeat = linear(lyr, pt_ffeat)
-        pt_sel = pt_ffeat[b_ids, j_ids]                  # (L, Cf)
+        pt_sel = take_rows_b(pt_ffeat, b_ids, j_ids)     # (L, Cf)
         wins = self.gather_fine_windows(params, fmap_f, im_cfeat, b_ids, i_ids,
                                         coarse_w)
         if "fine_sa" in params:

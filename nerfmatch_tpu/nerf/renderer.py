@@ -281,26 +281,42 @@ class NerfRenderer:
 
     @property
     def fused_eval_supported(self) -> bool:
-        """The fused Pallas path covers the production eval config: mip
-        hierarchy, viewdirs, 128 samples, no appearance table."""
+        """The fused Pallas path covers the production eval configs: mip
+        hierarchy, viewdirs, 128 samples (appearance embeddings ride in the
+        per-ray extras)."""
         return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
                 and self.fine_cfg is not None
-                and self.fine_cfg.num_pts == 128
-                and not self.cfg.appearance_embedding)
+                and self.fine_cfg.num_pts == 128)
 
     @functools.cached_property
     def _fused_eval(self):
+        """One jitted call per chunk: weight packing and the appearance
+        embedding gather live INSIDE the jit — issuing them eagerly costs
+        dozens of dispatches per chunk (seconds over a remote device link).
+        """
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
         render, pack = make_fused_hierarchical(self)
-        fn = jax.jit(lambda wc, wf, rays: render(wc, wf, rays))
-        return fn, pack
+        if self.cfg.appearance_embedding:
+            def call(params, rays, rid):
+                wc, wf = pack(params)
+                app = params["embedding_a"]["weight"][rid]
+                return render(wc, wf, rays, app)
+        else:
+            def call(params, rays, rid=None):
+                wc, wf = pack(params)
+                return render(wc, wf, rays, None)
+        return jax.jit(call)
 
     def fused_predict(self, params, rays, w: int | None = None,
-                      h: int | None = None, chunk_rays: int = 9216):
+                      h: int | None = None, chunk_rays: int = 9216,
+                      ray_id=None):
         """Eval render through the fused kernel (rgb/depth/feat/pts only)."""
-        fn, pack = self._fused_eval
-        wc, wf = pack(params)
+        fn = self._fused_eval
+        rid_np = None
+        if self.cfg.appearance_embedding:
+            rid_np = (np.ones((rays.shape[0],), np.int32) if ray_id is None
+                      else np.asarray(ray_id).astype(np.int32))
         n = rays.shape[0]
         # Pad to a 128-ray multiple (one compile per distinct padded size);
         # chunk only batches larger than chunk_rays.
@@ -309,16 +325,28 @@ class NerfRenderer:
         rays_p = np.concatenate(
             [rays_np, np.broadcast_to(rays_np[-1:], (n_pad, rays_np.shape[-1]))]
         ) if n_pad else rays_np
+        rid_p = None
+        if rid_np is not None:
+            rid_p = np.concatenate(
+                [rid_np, np.broadcast_to(rid_np[-1:], (n_pad,))]
+            ) if n_pad else rid_np
         step = chunk_rays if rays_p.shape[0] > chunk_rays else rays_p.shape[0]
         step = max(step - step % 128, 128)
         chunks = []
         for i in range(0, rays_p.shape[0], step):
             part = rays_p[i : i + step]
+            rpart = rid_p[i : i + step] if rid_p is not None else None
             if part.shape[0] % 128:
                 pad = 128 - part.shape[0] % 128
                 part = np.concatenate(
                     [part, np.broadcast_to(part[-1:], (pad, part.shape[-1]))])
-            chunks.append(fn(wc, wf, jnp.asarray(part)))
+                if rpart is not None:
+                    rpart = np.concatenate(
+                        [rpart, np.broadcast_to(rpart[-1:], (pad,))])
+            if rpart is not None:
+                chunks.append(fn(params, jnp.asarray(part), jnp.asarray(rpart)))
+            else:
+                chunks.append(fn(params, jnp.asarray(part)))
         preds = {k: np.concatenate([np.asarray(c[k]) for c in chunks])[:n]
                  for k in chunks[0]}
         if w is not None and h is not None:
@@ -338,9 +366,9 @@ class NerfRenderer:
         requested) routes through the fused Pallas kernel.
         """
         if use_fused is None:
-            use_fused = ret_pfeat and ray_id is None and self.fused_eval_supported
+            use_fused = ret_pfeat and self.fused_eval_supported
         if use_fused and self.fused_eval_supported:
-            return self.fused_predict(params, rays, w, h)
+            return self.fused_predict(params, rays, w, h, ray_id=ray_id)
         n = rays.shape[0]
         n_pad = (-n) % chunk_rays
         rays_p = np.concatenate(

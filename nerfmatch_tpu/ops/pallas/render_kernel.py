@@ -334,7 +334,9 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     Mirrors ``NerfRenderer.render_rays(train=False, ret_pfeat=True,
     validation=True)``: both Gaussian-cast+MLP+composite stages run in the
     fused kernel; only the inverse-CDF z resampling runs in XLA.
-    Returns (render(w_coarse, w_fine, rays) -> preds, pack(params)).
+    Returns (render(w_coarse, w_fine, rays[, app_emb]) -> preds,
+    pack(params)).  ``app_emb`` (N, 16) appearance embeddings ride in the
+    per-ray extras alongside the viewdir PE (Cambridge path).
     """
     from ...nerf.embedding import pe_embedding
     from ...nerf.sampling import resample_z_from_weights
@@ -342,6 +344,7 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     cfg = renderer.cfg
     fine_cfg = renderer.fine_cfg
     S = fine_cfg.num_pts
+    app_dim = 16 if cfg.appearance_embedding else 0
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
@@ -349,17 +352,24 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         white_bg=cfg.white_bg)
     fused = make_fused_render(spec, interpret=interpret)
 
-    def pack(params):
-        coarse_key = "nerf_fine" if cfg.single_model else "nerf_coarse"
-        return (pack_mlp_weights(params[coarse_key], spec,
-                                 extra_dim_real=renderer.dirs_emb_dim),
-                pack_mlp_weights(params["nerf_fine"], spec,
-                                 extra_dim_real=renderer.dirs_emb_dim))
+    assert renderer.dirs_emb_dim + app_dim <= spec.extra_dim
 
-    def render(w_coarse, w_fine, rays):
+    def pack(params):
+        # Traced (jnp-only) packing so callers may pack inside jit — one
+        # dispatch per chunk instead of dozens of eager ops (which cost
+        # seconds per call over a remote-device link).
+        from .render_train import pack_mlp_weights_traced
+
+        coarse_key = "nerf_fine" if cfg.single_model else "nerf_coarse"
+        return (pack_mlp_weights_traced(params[coarse_key], spec),
+                pack_mlp_weights_traced(params["nerf_fine"], spec))
+
+    def render(w_coarse, w_fine, rays, app_emb=None):
         near, far = rays[:, 6:7], rays[:, 7:8]
         o8, d8 = prepare_ray_inputs(rays)
         dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)
+        if app_emb is not None:
+            dirs_pe = jnp.concatenate([dirs_pe, app_emb], axis=-1)
         extras = _pad_axis(dirs_pe, spec.extra_dim, 1)
 
         t = jnp.linspace(0.0, 1.0, S + 1)

@@ -171,3 +171,33 @@ def test_sine_pe_structure():
     assert np.allclose(pe[3, :, 2], math.sin(4 * div0), atol=1e-6)
     # Channel 1: cos(x * f0).
     assert np.allclose(pe[0, 0, 1], math.cos(1 * div0), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# differentiable row gather (MXU backward)
+# ---------------------------------------------------------------------------
+
+def test_take_rows_matches_indexing_and_grad():
+    import jax
+    import jax.numpy as jnp
+    from nerfmatch_tpu.ops.gather import take_rows, take_rows_b
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(40, 8)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 40, size=17), jnp.int32)
+    assert np.allclose(np.asarray(take_rows(table, idx)),
+                       np.asarray(table)[np.asarray(idx)])
+
+    # Gradient parity vs plain indexing (includes repeated indices).
+    w = jnp.asarray(rng.normal(size=(17, 8)), jnp.float32)
+    g_mm = jax.grad(lambda t: jnp.sum(take_rows(t, idx) * w))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(t[idx] * w))(table)
+    assert np.allclose(np.asarray(g_mm), np.asarray(g_ref), atol=1e-5)
+
+    # Batched variant under jit.
+    tb = table.reshape(4, 10, 8)
+    b_ids = jnp.asarray([0, 3, 2], jnp.int32)
+    r_ids = jnp.asarray([5, 9, 0], jnp.int32)
+    out = jax.jit(take_rows_b)(tb, b_ids, r_ids)
+    assert np.allclose(np.asarray(out),
+                       np.asarray(tb)[np.asarray(b_ids), np.asarray(r_ids)])

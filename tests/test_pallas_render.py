@@ -171,3 +171,44 @@ def test_fused_hierarchical_matches_renderer():
     assert f_rel < 0.1, f_rel
     assert np.allclose(np.asarray(out["pts_fine"]),
                        np.asarray(ref["pts_fine"]), atol=2e-2)
+
+
+def test_fused_hierarchical_with_appearance():
+    """Appearance embeddings through the fused extras match the XLA path."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": True, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip",
+                      "appearance_embed": True},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, num_frames=5, stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(4)
+    o = rng.uniform(-0.2, 0.2, (16, 3))
+    d = rng.normal(size=(16, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((16, 1), 0.05), np.full((16, 1), 1.4), d,
+         np.full((16, 1), 0.002)], -1), jnp.float32)
+    ray_id = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+
+    ref = renderer.render_rays(params, rays, ray_id=ray_id, train=False,
+                               ret_pfeat=True, validation=True)
+
+    render, pack = make_fused_hierarchical(renderer, interpret=True)
+    wc, wf = pack(params)
+    app = params["embedding_a"]["weight"][ray_id]
+    out = render(wc, wf, rays, app)
+    assert np.allclose(np.asarray(out["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=3e-2)
