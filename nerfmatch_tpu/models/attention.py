@@ -36,12 +36,15 @@ def full_attention(q, k, v, temperature=None):
 
 
 def lsa_attention(q, k, v, log_scale):
-    """Locality self-attention: learned temperature ``exp(log_scale)`` with a
-    -inf diagonal mask (Vision Transformer for Small-Size Datasets)."""
+    """Locality self-attention: learned temperature ``exp(log_scale)``
+    (Vision Transformer for Small-Size Datasets).
+
+    Checkpoint-parity note: the reference (``modules/attention.py:60-81``)
+    builds a -inf diagonal mask into ``dots`` but then softmaxes the
+    UNMASKED logits, so its trained behavior — and therefore ours — is
+    plain temperature-scaled attention with no diagonal mask.
+    """
     logits = jnp.einsum("blhd,bshd->bhls", q, k) * jnp.exp(log_scale)
-    L = logits.shape[-2]
-    eye = jnp.eye(L, dtype=bool)[None, None, :, :]
-    logits = jnp.where(eye, jnp.finfo(logits.dtype).min, logits)
     z = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhls,bshd->blhd", z, v)
 

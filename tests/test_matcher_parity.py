@@ -172,3 +172,29 @@ def test_sine_pe_matches_torch():
     ours = np.asarray(sine_position_encoding_2d(CF, 8, 8))
     theirs = t.pe[0].permute(1, 2, 0).numpy()
     assert np.allclose(ours, theirs, atol=1e-6)
+
+
+def test_lsa_attention_matches_torch_reference_behavior():
+    """Reference LSA (``modules/attention.py:60-81``) builds a diagonal mask
+    but softmaxes the UNMASKED logits (the mask is dead code), so the trained
+    behavior is temperature-scaled attention.  Our lsa_attention must match
+    that — including the softmax over the key axis of the 'blsh' layout."""
+    from nerfmatch_tpu.models.attention import lsa_attention
+
+    B, L, H, D = 2, 7, 4, 8
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    v = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    log_scale = float(np.log(D**-0.5)) + 0.17
+
+    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    with torch.no_grad():
+        qk = torch.einsum("blhd,bshd->blsh", tq, tk) * math.exp(log_scale)
+        # (reference computes a masked copy here and never uses it)
+        z = torch.softmax(qk, dim=2)
+        ref = torch.einsum("blsh,bshd->blhd", z, tv).numpy()
+
+    out = np.asarray(lsa_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(log_scale)))
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
