@@ -373,11 +373,14 @@ class NerfBaseDataset:
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
             idx = perm[i : i + batch_size]
-            yield {
+            batch = {
                 "rays": self.all_rays[idx],
                 "rgbs": self.all_rgbs[idx],
                 "ts": self.all_ts[idx, 0],
             }
+            if self.all_msks is not None:
+                batch["mask"] = self.all_msks[idx]
+            yield batch
 
     def __repr__(self):
         return (f"NerfBaseDataset(split={self.split} samples={len(self)} "

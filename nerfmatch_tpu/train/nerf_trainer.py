@@ -202,6 +202,8 @@ def train(config):
     rng = np.random.default_rng(exp.seed)
     best_psnr = -np.inf
     batch_size = exp.batch_size
+    use_sem_mask = bool(getattr(getattr(config, "loss", None),
+                                "use_sem_mask", False))
     max_steps = 10 if debug else None
     profile_dir = getattr(exp, "profile_dir", None)
     if profile_dir:
@@ -222,9 +224,12 @@ def train(config):
                 jax.profiler.stop_trace()
             key, k = jax.random.split(key)
             sb = shard_batch(batch, mesh)
+            # Per-ray loss mask (semantic/transient, reference
+            # nerf_trainer.py use_sem_mask path) when the dataset loads one.
+            mask = sb.get("mask") if use_sem_mask else None
             params, opt_state, metrics = step_fn(
                 params, opt_state, sb["rays"], sb["rgbs"],
-                sb["ts"].astype(jnp.int32), k)
+                sb["ts"].astype(jnp.int32), k, mask)
             if i % getattr(exp, "log_step", 100) == 0:
                 host_m = {k_: float(v) for k_, v in metrics.items()}
                 host_m["lr"] = get_lr(opt_state)

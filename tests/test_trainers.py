@@ -184,3 +184,36 @@ def test_nerf_pair_validation_metrics(scene, tmp_path):
         assert k in m
     # Untrained NeRF -> errors can be inf but must be well-formed numbers.
     assert isinstance(m["num_matches"], int)
+
+
+def test_nerf_train_step_with_loss_mask(scene, tmp_path):
+    """use_sem_mask path: per-ray mask weights the MSE (zero mask -> the
+    masked rays contribute nothing)."""
+    import jax
+    import jax.numpy as jnp
+    from nerfmatch_tpu.train.nerf_trainer import NerfTrainer
+    from nerfmatch_tpu.parallel.mesh import make_mesh, shard_batch
+    from nerfmatch_tpu.data import init_data_loader
+
+    cfg = nerf_train_config(scene, tmp_path)
+    ds = init_data_loader(cfg.data, 0, 1, split="train").dataset
+    mesh = make_mesh()
+    trainer = NerfTrainer(cfg, num_frames=1, mesh=mesh)
+    params, opt_state = trainer.init_state(0)
+    step = trainer.train_step_fn()
+    batch = next(iter(ds.ray_batches(512, np.random.default_rng(0))))
+    sb = shard_batch(batch, mesh)
+    k = jax.random.PRNGKey(0)
+
+    ones = jnp.ones((512, 1), jnp.float32)
+    _, _, m1 = step(params, opt_state, sb["rays"], sb["rgbs"],
+                    sb["ts"].astype(jnp.int32), k, ones)
+    _, _, m0 = step(params, opt_state, sb["rays"], sb["rgbs"],
+                    sb["ts"].astype(jnp.int32), k)
+    # All-ones mask == no mask.
+    assert np.allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-5)
+    # Half mask strictly shrinks the (mean-reduced) rgb losses.
+    half = ones.at[:256].set(0.0)
+    _, _, mh = step(params, opt_state, sb["rays"], sb["rgbs"],
+                    sb["ts"].astype(jnp.int32), k, half)
+    assert float(mh["rgb_fine_mse"]) < float(m0["rgb_fine_mse"])
