@@ -307,6 +307,8 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         outs = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(o8, d8, z_vals, tmvr, extras,
           *[weights_packed[k] for k in weight_names])
         rgb_p, depth, acc, w, feat, pts_p = outs

@@ -341,6 +341,8 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         rgb_p, w = pl.pallas_call(
             fwd_kernel, grid=grid, in_specs=_specs(weights, False),
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(o8, d8, z_vals, extras, noise, tm, expand,
           *[weights[k] for k in weight_keys], *[consts[k] for k in consts])
         return rgb_p[:, :3], w
@@ -360,9 +362,14 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
                      for k in weight_keys]
         out_shape = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
                      for k in weight_keys]
+        # The backward's residual+grad working set sits within ~1 MB of the
+        # default 16 MB scoped-vmem limit (XLA scheduling can tip it over);
+        # raise the limit — v5e has 128 MB of physical VMEM.
         grads = pl.pallas_call(
             bwd_kernel, grid=grid, in_specs=_specs(weights, True),
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(o8, d8, z_vals, extras, noise, tm, expand, g_rgb, g_w,
           *[weights[k] for k in weight_keys], *[consts[k] for k in consts])
         g = {k: v.astype(weights[k].dtype) for k, v in zip(weight_keys, grads)}
