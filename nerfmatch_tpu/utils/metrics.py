@@ -64,12 +64,21 @@ def l2_regularize(mu):
 
 
 def lossfun_distortion(t, w):
-    """mip-NeRF 360 distortion: iint w_i w_j |t_i - t_j| + intra-interval."""
+    """mip-NeRF 360 distortion: iint w_i w_j |t_i - t_j| + intra-interval.
+
+    The inter-sample term uses the O(S) prefix-sum identity for sorted
+    midpoints (sum_ij w_i w_j |u_i - u_j| = 2 sum_i w_i (u_i W_<i - S_<i)
+    with W_<i / S_<i the exclusive prefix sums of w / w*u) instead of the
+    reference's O(S^2) pairwise |u_i - u_j| matrix (``metrics.py:448-465``)
+    — identical value/gradient, but avoids materializing an (N, S, S)
+    tensor (600 MB at the production 9216x128 train shape).
+    """
     if w.shape[-1] == t.shape[-1]:
         t = jnp.concatenate([t[..., :1] * 0, t], axis=-1)
     ut = (t[..., 1:] + t[..., :-1]) / 2
-    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
-    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    w_lt = jnp.cumsum(w, axis=-1) - w
+    s_lt = jnp.cumsum(w * ut, axis=-1) - w * ut
+    loss_inter = 2.0 * jnp.sum(w * (ut * w_lt - s_lt), axis=-1)
     loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
     return loss_inter + loss_intra
 

@@ -176,3 +176,29 @@ def test_auc_monotone():
     auc = M.cal_error_auc(errs, [1, 2, 5, 10])
     assert np.all(np.diff(auc) >= 0)
     assert 0 <= auc[0] <= 100
+
+
+def test_distortion_loss_matches_pairwise_form():
+    """The O(S) prefix-sum inter term equals the naive pairwise double sum
+    (value and gradient) for sorted sample midpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(np.sort(rng.uniform(0, 1, (4, 17)), axis=-1), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, (4, 16)), jnp.float32)
+
+    def naive(t, w):
+        ut = (t[..., 1:] + t[..., :-1]) / 2
+        dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
+        inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+        intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
+        return inter + intra
+
+    a = np.asarray(M.lossfun_distortion(t, w))
+    b = np.asarray(naive(t, w))
+    assert np.allclose(a, b, rtol=1e-5, atol=1e-6), np.abs(a - b).max()
+
+    ga = np.asarray(jax.grad(lambda w: jnp.sum(M.lossfun_distortion(t, w)))(w))
+    gb = np.asarray(jax.grad(lambda w: jnp.sum(naive(t, w)))(w))
+    assert np.allclose(ga, gb, rtol=1e-4, atol=1e-5), np.abs(ga - gb).max()
