@@ -33,7 +33,8 @@ from ..models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
 from ..models.matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
 from ..ops.matching import dense_to_match_lists, dual_softmax, \
     extract_mutual_matches, pad_matches_with_gt
-from ..parallel.mesh import make_mesh, replicate_params, shard_batch
+from ..parallel.mesh import all_gather_host, make_mesh, replicate_params, \
+    shard_batch
 from ..utils import get_logger
 from ..utils.metrics import (
     compute_feat_l2,
@@ -89,6 +90,21 @@ class CoarseTrainStep:
             return params, opt_state, metrics
 
         self.step = step
+
+        @jax.jit
+        def val_forward(params, image, pt_feat, pt3d, im_mask, pt_mask,
+                        conf_gt):
+            out = self.model.forward_match(params, image, pt_feat, pt3d,
+                                           im_mask, pt_mask, ret_feats=True)
+            coarse_loss, feat_l2 = coarse_losses(
+                out["conf_matrix"], conf_gt, out.pop("im_cfeat"),
+                out.pop("pt_cfeat"), clamp=False)
+            metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
+                       "loss": coarse_loss}
+            small = {k: out[k] for k in ("j_ids", "mconf", "valid")}
+            return metrics, small
+
+        self.val_forward = val_forward
 
 
 class C2FTrainStep:
@@ -160,18 +176,72 @@ class C2FTrainStep:
 
         self.step = step
 
+        @jax.jit
+        def val_forward(params, image, pt_feat, pt3d, im_mask, pt_mask,
+                        conf_gt, pt2d, pt2d_proj, coarse_only):
+            """Val loss over *predicted* matches (reference training=False
+            semantics, ``nerfmatch_c2f_trainer.py:490-551``): coarse focal
+            loss + fine loss on the dense per-token match list, masked by the
+            mutual-match validity; zero-match batches fall back to coarse."""
+            out = self.model.forward_match(params, image, pt_feat, pt3d,
+                                           im_mask, pt_mask, ret_feats=True)
+            coarse_loss, feat_l2 = coarse_losses(
+                out["conf_matrix"], conf_gt, out.pop("im_cfeat"),
+                out.pop("pt_cfeat"), clamp=True)
+
+            b_ids = out["fine_b_ids"]
+            i_ids = out["fine_i_ids"]
+            j_ids = out["fine_j_ids"]
+            valid = out["valid"].reshape(-1)
+            expec_f = out["expec_f"]
+            mpt2d_c = pt2d[b_ids, i_ids]
+            mpt2d_f = self.model.fine_coords(expec_f, mpt2d_c)
+            mpt2d_f_gt = pt2d_proj[b_ids, j_ids]
+
+            coarse_dist = jnp.linalg.norm(mpt2d_f_gt - mpt2d_c, axis=-1)
+            coarse_pos = (coarse_dist < cfg.coarse_dthres) & valid
+            if cfg.fine_loss == "match":
+                fine_loss = compute_fine_match_loss_l2_std(
+                    mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos)
+            else:
+                radius = cfg.fine_ds * cfg.win_sz // 2
+                expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
+                fine_loss = compute_fine_loss_l2_std(
+                    expec_f, expec_gt, training=False, valid=valid)
+
+            n_valid = jnp.sum(valid)
+            loss = jnp.where(coarse_only | (n_valid == 0), coarse_loss,
+                             coarse_loss + fine_loss)
+            denom = jnp.maximum(n_valid, 1)
+            metrics = {
+                "coarse_loss": coarse_loss,
+                "fine_loss": fine_loss,
+                "feat_l2": feat_l2,
+                "coarse_dist": jnp.sum(
+                    jnp.where(valid, coarse_dist, 0.0)) / denom,
+                "coarse_pos_ratio": jnp.sum(coarse_pos * 1.0) / denom * 100,
+                "loss": loss,
+            }
+            small = {k: out[k] for k in ("j_ids", "mconf", "valid", "expec_f")}
+            return metrics, small
+
+        self.val_forward = val_forward
+
 
 # ---------------------------------------------------------------------------
 # Validation (host PnP)
 # ---------------------------------------------------------------------------
 
 def eval_batch_pose(model, params, batch, rthres: float = 1.0,
-                    max_matches: int = 1024, solver: str = "native"):
-    """Forward a val batch + host PnP -> per-sample pose metrics dict."""
-    out = model.forward_match(
-        params, jnp.asarray(batch["image"]), jnp.asarray(batch["pt_feat"]),
-        jnp.asarray(batch["pt3d"]), jnp.asarray(batch["im_mask"]),
-        jnp.asarray(batch["pt_mask"]))
+                    max_matches: int = 1024, solver: str = "native",
+                    out=None):
+    """Forward a val batch (or reuse ``out`` from a prior forward) + host PnP
+    -> per-sample pose metrics dict."""
+    if out is None:
+        out = model.forward_match(
+            params, jnp.asarray(batch["image"]), jnp.asarray(batch["pt_feat"]),
+            jnp.asarray(batch["pt3d"]), jnp.asarray(batch["im_mask"]),
+            jnp.asarray(batch["pt_mask"]))
     lists = dense_to_match_lists(
         {"j_ids": out["j_ids"], "mconf": out["mconf"], "valid": out["valid"]},
         max_matches)
@@ -311,16 +381,33 @@ def _train_matcher(config, coarse: bool):
         logger.info(f"epoch {epoch}: loss={np.mean(agg):.4f} "
                     f"lr={get_lr(opt_state):.2e}")
 
-        # Validation
+        # Validation: matching losses (jitted, reference training=False
+        # semantics) + host-PnP pose metrics from the same forward.
         if (epoch + 1) % getattr(exp, "check_epochs", 1) == 0:
-            val_losses, r_errs, t_errs = [], [], []
+            val_agg, r_errs, t_errs = {}, [], []
             for vi, batch in enumerate(val_loader):
                 if debug and vi >= 2:
                     break
-                pose_m = eval_batch_pose(model, params, _model_inputs(batch),
-                                         rthres=rthres)
+                vb = _model_inputs(batch)
+                vargs = [params, jnp.asarray(vb["image"]),
+                         jnp.asarray(vb["pt_feat"]), jnp.asarray(vb["pt3d"]),
+                         jnp.asarray(vb["im_mask"]), jnp.asarray(vb["pt_mask"]),
+                         jnp.asarray(vb["conf_gt"])]
+                if not coarse:
+                    vargs += [jnp.asarray(vb["pt2d"]),
+                              jnp.asarray(vb["pt2d_proj"]), coarse_only]
+                vm, out = stepper.val_forward(*vargs)
+                for k_, v in vm.items():
+                    val_agg.setdefault(k_, []).append(float(v))
+                pose_m = eval_batch_pose(model, params, vb, rthres=rthres,
+                                         out=out)
                 r_errs += pose_m["R_err"]
                 t_errs += pose_m["t_err"]
+            # Multi-process: gather val outputs before reductions (the
+            # reference's all_gather_object, coarse_trainer.py:448-456).
+            r_errs = all_gather_host(r_errs)
+            t_errs = all_gather_host(t_errs)
+            val_agg = {k_: all_gather_host(v) for k_, v in val_agg.items()}
             t_arr = np.asarray(t_errs, np.float64)
             r_arr = np.asarray(r_errs, np.float64)
             tmed = float(np.median(t_arr)) if len(t_arr) else np.inf
@@ -330,11 +417,15 @@ def _train_matcher(config, coarse: bool):
                 "tmean": float(np.mean(t_arr[~np.isinf(t_arr)])) if len(t_arr) else np.inf,
             }
             mlog.log_scalars(epoch, val_m, prefix="hp/neum_")
-            logger.info(f"epoch {epoch}: val {val_m}")
+            val_losses = {k_: _finite_mean(v) for k_, v in val_agg.items()}
+            mlog.log_scalars(epoch, val_losses, prefix="val/neum_")
+            logger.info(f"epoch {epoch}: val {val_m} "
+                        f"loss={val_losses.get('loss', np.inf):.4f}")
 
-            mean_loss = float(np.mean(agg)) if agg else np.inf
-            if mean_loss < best_loss:
-                best_loss = mean_loss
+            # Reference ckpt criteria: top-1 on val/neum_loss (+ best_tmed).
+            val_loss = val_losses.get("loss", np.inf)
+            if val_loss < best_loss:
+                best_loss = val_loss
                 save_checkpoint(run_dir / "checkpoints", epoch + 1, params,
                                 opt_state, config, name="best", keep=1)
             if tmed < best_tmed:
@@ -345,6 +436,14 @@ def _train_matcher(config, coarse: bool):
                         config, name="last", keep=1)
     mlog.close()
     return config, params
+
+
+def _finite_mean(values):
+    """Mean ignoring inf/nan entries (reference log_step semantics,
+    ``nerfmatch_coarse_trainer.py:419-426``); inf when nothing is finite."""
+    arr = np.asarray(values, np.float64)
+    ok = np.isfinite(arr)
+    return float(arr[ok].mean()) if ok.any() else float("inf")
 
 
 def _model_inputs(batch):

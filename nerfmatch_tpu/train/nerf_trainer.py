@@ -26,8 +26,10 @@ import optax
 from ..config import namespace2dict
 from ..data import init_data_loader
 from ..nerf.renderer import NerfRenderer
-from ..parallel.mesh import make_mesh, replicate_params, shard_batch
+from ..parallel.mesh import all_gather_host, make_mesh, replicate_params, \
+    shard_batch
 from ..utils import get_logger
+from ..utils.images import colorize_depth
 from ..utils.metrics import compute_nerf_metrics, mse2psnr
 from ..utils.optim import get_lr, init_optimizer, make_lr_schedule, set_lr
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
@@ -147,8 +149,13 @@ class NerfTrainer:
         return compute_nerf_pose_metrics(
             preds["pts_fine"], preds["feat_fine"], sample, ds=ds)
 
-    def validate_image(self, params, sample, max_rays: int = 230400):
-        """Render one full val image; returns (metrics, preds)."""
+    def validate_image(self, params, sample, max_rays: int | None = None):
+        """Render one full val image; returns (metrics, preds).
+
+        ``max_rays`` optionally truncates huge images (debug only — a
+        truncated render skews PSNR and skips the (h, w) reshape); the
+        default renders every ray via the chunked ``predict``.
+        """
         rays = np.asarray(sample["rays"]).reshape(-1, 12)[:max_rays]
         rgbs = np.asarray(sample["rgbs"]).reshape(-1, 3)[:max_rays]
         w, h = [int(x) for x in np.asarray(sample["img_wh"]).reshape(-1)[:2]]
@@ -257,8 +264,18 @@ def train(config):
                     if "rgb_fine" in preds and np.ndim(preds["rgb_fine"]) == 3:
                         mlog.log_image(epoch, f"val/rgb_fine_{vi}",
                                        preds["rgb_fine"])
-            val_mean = {k_: float(np.mean([m[k_] for m in val_ms]))
-                        for k_ in val_ms[0]} if val_ms else {}
+                    # Colorized depth panels (reference nerf_trainer.py:119-122).
+                    for stage in ("coarse", "fine"):
+                        dk = f"depth_{stage}"
+                        if dk in preds and np.ndim(preds[dk]) == 3:
+                            mlog.log_image(
+                                epoch, f"val/depth_{stage}_{vi}",
+                                colorize_depth(preds[dk][..., 0]))
+            # Multi-process: gather per-metric val lists before the mean
+            # (the reference's all_gather_object, nerf_trainer.py:190-198).
+            keys = sorted({k_ for m in val_ms for k_ in m})
+            val_mean = {k_: float(np.mean(all_gather_host(
+                [m[k_] for m in val_ms if k_ in m]))) for k_ in keys}
             mlog.log_scalars(epoch, val_mean, prefix="val/")
             logger.info(f"epoch {epoch}: val {val_mean}")
 

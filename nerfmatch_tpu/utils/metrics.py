@@ -168,11 +168,15 @@ def compute_feat_l2(im_feat, pt_feat, conf_gt):
     return jnp.mean(per_b)
 
 
-def compute_fine_loss_l2_std(expec_f, expec_f_gt, training: bool = True):
+def compute_fine_loss_l2_std(expec_f, expec_f_gt, training: bool = True,
+                             valid=None):
     """LoFTR local expectation loss: std-weighted l2 on window-normalized
     offsets; supervises only coarse matches within the window (|gt|_inf < 1).
-    Fixed-shape: zero-match batches contribute 0 (no DDP hack needed)."""
+    Fixed-shape: zero-match batches contribute 0 (no DDP hack needed).
+    ``valid`` (optional (L,) bool) masks out padding rows (dense val mode)."""
     correct = jnp.linalg.norm(expec_f_gt, ord=jnp.inf, axis=1) < 1.0
+    if valid is not None:
+        correct = correct & valid
     std = expec_f[:, 2]
     inv_std = 1.0 / jnp.clip(std, min=1e-10)
     weight = jax.lax.stop_gradient(inv_std / jnp.mean(inv_std))
