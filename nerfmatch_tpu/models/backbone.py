@@ -142,7 +142,8 @@ def _block(p, x):
 # ---------------------------------------------------------------------------
 
 def init_metaformer(key, cfg: BackboneConfig, in_ch: int = 3):
-    keys = jax.random.split(key, 2 + sum(cfg.depths))
+    n_stages = len(cfg.depths)
+    keys = jax.random.split(key, 1 + n_stages + sum(cfg.depths))
     params = {
         "stem": {
             "conv": init_conv(keys[0], 7, 7, in_ch, cfg.dims[0]),
@@ -150,13 +151,13 @@ def init_metaformer(key, cfg: BackboneConfig, in_ch: int = 3):
         },
         "stages": [],
     }
-    ki = 2
+    ki = 1 + n_stages
     for s, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
         stage = {"blocks": []}
         if s > 0:
             stage["downsample"] = {
                 "norm": _init_ln_no_bias(cfg.dims[s - 1]),
-                "conv": init_conv(keys[1], 3, 3, cfg.dims[s - 1], dim),
+                "conv": init_conv(keys[s], 3, 3, cfg.dims[s - 1], dim),
             }
         for _ in range(depth):
             stage["blocks"].append(_init_block(keys[ki], dim, cfg))
@@ -200,10 +201,36 @@ def backbone_apply(params, cfg: BackboneConfig, img_nhwc):
 
 
 def _init_conv_kaiming(key, kh, kw, cin, cout, bias=False):
+    key, k_w = jax.random.split(key)
     p = init_conv(key, kh, kw, cin, cout, bias=bias)
     std = jnp.sqrt(2.0 / (kh * kw * cout))
-    p["weight"] = jax.random.normal(key, p["weight"].shape) * std
+    p["weight"] = jax.random.normal(k_w, p["weight"].shape) * std
     return p
+
+
+_BN_EPS = 1e-5  # torch nn.BatchNorm2d default
+
+
+def _init_bn(dim):
+    """BatchNorm2d state (reference FPN, ``modules/__init__.py:60``):
+    affine weight/bias + running stats, all stored as param leaves so the
+    checkpoint bridge fills them from ``running_mean``/``running_var``."""
+    return {"weight": jnp.ones((dim,)), "bias": jnp.zeros((dim,)),
+            "running_mean": jnp.zeros((dim,)), "running_var": jnp.ones((dim,))}
+
+
+def _bn_apply(p, x, train: bool = False):
+    """NHWC BatchNorm. Eval normalizes with running stats; train uses batch
+    stats (biased var, as torch does for normalization).  Running-stat
+    momentum updates are host-side bookkeeping the (functional) train step
+    does not perform — no reference config trains an FPN variant."""
+    if train:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+    else:
+        mean, var = p["running_mean"], p["running_var"]
+    inv = jax.lax.rsqrt(var + _BN_EPS) * p["weight"]
+    return (x - mean) * inv + p["bias"]
 
 
 def init_fpn(key, block_dims):
@@ -215,19 +242,37 @@ def init_fpn(key, block_dims):
         "layer1_outconv": _init_conv_kaiming(k2, 1, 1, block_dims[0], block_dims[1]),
         "layer1_outconv2": {
             "conv1": _init_conv_kaiming(k3, 3, 3, block_dims[1], block_dims[1]),
-            "bn": {"weight": jnp.ones((block_dims[1],)),
-                   "bias": jnp.zeros((block_dims[1],))},
+            "bn": _init_bn(block_dims[1]),
             "conv2": _init_conv_kaiming(k4, 3, 3, block_dims[1], block_dims[0]),
         },
     }
 
 
 def _bilinear_upsample(x, factor):
+    """Bilinear upsample with align_corners=True (the reference FPN's
+    ``F.interpolate(..., align_corners=True)``, modules/__init__.py:86-88 —
+    jax.image.resize implements only the half-pixel convention)."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * factor, w * factor, c), "bilinear")
+    H, W = h * factor, w * factor
+
+    def axis_weights(size_in, size_out):
+        pos = jnp.linspace(0.0, size_in - 1.0, size_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, size_in - 1)
+        hi = jnp.minimum(lo + 1, size_in - 1)
+        frac = pos - lo
+        return lo, hi, frac
+
+    y0, y1, fy = axis_weights(h, H)
+    x0, x1, fx = axis_weights(w, W)
+    top = jnp.take(x, y0, axis=1)
+    bot = jnp.take(x, y1, axis=1)
+    rows = top * (1.0 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+    left = jnp.take(rows, x0, axis=2)
+    right = jnp.take(rows, x1, axis=2)
+    return left * (1.0 - fx)[None, None, :, None] + right * fx[None, None, :, None]
 
 
-def fpn_apply(params, x2_coarse, x1_fine):
+def fpn_apply(params, x2_coarse, x1_fine, train: bool = False):
     """x2 (1/8), x1 (1/2) -> [coarse_out (1/8), fine_out (1/2)]."""
     x2_out = conv2d(params["layer2_outconv"], x2_coarse, padding=0)
     x2_up = _bilinear_upsample(x2_out, 4)
@@ -235,8 +280,7 @@ def fpn_apply(params, x2_coarse, x1_fine):
     h = x1_out + x2_up
     p = params["layer1_outconv2"]
     h = conv2d(p["conv1"], h, padding=1)
-    # BatchNorm in inference form (running stats folded to identity at init).
-    h = h * p["bn"]["weight"] + p["bn"]["bias"]
+    h = _bn_apply(p["bn"], h, train=train)
     h = jax.nn.leaky_relu(h, 0.01)
     h = conv2d(p["conv2"], h, padding=1)
     return x2_out, h

@@ -89,6 +89,17 @@ def _torch_key_for_path(path):
             parts.append("0")
             i += 1
             continue
+        if seg == "fpn":
+            # FPN convs live directly on MetaFormer_MS (NOT under .model):
+            # backbone.layer2_outconv.* (modules/__init__.py:44-70).
+            i += 1
+            continue
+        if seg == "layer1_outconv2" and i + 1 < len(p):
+            # nn.Sequential(conv, bn, leaky_relu, conv) -> indices 0/1/3.
+            parts.append("layer1_outconv2")
+            parts.append({"conv1": "0", "bn": "1", "conv2": "3"}[p[i + 1]])
+            i += 2
+            continue
         if seg == "scale" and parts and parts[-1].startswith("attention"):
             # LSA learned temperature lives on attention.attend.scale.
             parts.append("attend")
@@ -128,7 +139,9 @@ def convert_torch_params(template, state_dict, prefix: str = "",
             k.key if hasattr(k, "key") else k.idx for k in keypath
         )
         tkey = _torch_key_for_path(path)
-        if backbone_extra and tkey.startswith("backbone."):
+        # FPN leaves live on the MS wrapper itself, never under .model.
+        if backbone_extra and tkey.startswith("backbone.") \
+                and (len(path) < 2 or path[1] != "fpn"):
             tkey = "backbone." + backbone_extra + tkey[len("backbone."):]
         tkey = prefix + tkey
         if tkey in state_dict:
