@@ -126,6 +126,59 @@ def test_match_oracle_localizes(scene):
     assert r_err < 5.0 and t_err < 0.3, (r_err, t_err)
 
 
+def test_trained_matcher_localizes(scene):
+    """REAL matches end-to-end: overfit the tiny coarse matcher on a synthetic
+    pair, then localize with ``match_oracle=False`` — the full
+    ``_extract_matches_host`` -> ``dense_to_match_lists`` -> PnP path
+    (reference ``nerfmatch_evaluator.py:150-230``) must recover the pose."""
+    import optax
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+    from nerfmatch_tpu.utils.metrics import compute_matching_loss
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="train", val_num=4)
+    batch = _collate([ds[0]])
+
+    img = jnp.asarray(batch["image"])
+    pt_feat = jnp.asarray(batch["pt_feat"])
+    pt3d = jnp.asarray(batch["pt3d"])
+    im_mask = jnp.asarray(np.asarray(batch["im_mask"], np.float32))
+    pt_mask = jnp.asarray(np.asarray(batch["pt_mask"], np.float32))
+    conf_gt = jnp.asarray(np.asarray(batch["conf_gt"], np.float32))
+
+    model, params = ev.model, ev.params
+    opt = optax.adam(4e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            out = model.forward_match(p, img, pt_feat, pt3d,
+                                      im_mask=im_mask, pt_mask=pt_mask)
+            return compute_matching_loss(out["conf_matrix"], conf_gt,
+                                         clamp=True)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    for _ in range(800):
+        params, state, loss = step(params, state)
+    ev.params = params
+
+    c2w_est, r_err, t_err, n = ev.eval_match_pose(
+        batch, match_oracle=False, mutual=True, rthres=6.0, solver="colmap")
+    assert c2w_est is not None
+    assert n >= 8, f"too few real matches: {n}"
+    # The synthetic pair has 14 grid cells with GT (64 points collide into
+    # 14 tokens), so the coarse matcher is quantization-limited: the oracle
+    # (64 point-level matches) gets ~3.6deg/0.12; one-match-per-token lands
+    # ~8deg/0.3.  Thresholds bound that regime.
+    assert r_err < 10.0 and t_err < 0.4, (r_err, t_err, n, float(loss))
+
+
 def test_retrieval_only_mode(scene):
     from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
     from nerfmatch_tpu.data import NeRFMatchPair
