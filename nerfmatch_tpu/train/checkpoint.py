@@ -197,9 +197,10 @@ def save_checkpoint(ckpt_dir, step: int, params, opt_state=None, config=None,
     with ocp.StandardCheckpointer() as saver:
         saver.save(path / "params", jax.device_get(params), force=True)
         if opt_state is not None:
-            np.save(path / "opt_state.npy",
-                    np.asarray(jax.tree_util.tree_leaves(jax.device_get(opt_state)),
-                               dtype=object), allow_pickle=True)
+            # Orbax-native: structure-checked restore (a pickled leaf list
+            # would silently depend on leaf ordering across optax versions).
+            saver.save(path / "opt_state", jax.device_get(opt_state),
+                       force=True)
     meta = {"step": step}
     if extra:
         meta.update(extra)
@@ -227,10 +228,20 @@ def load_checkpoint(path, params_template, opt_state_template=None):
     meta = json.loads((path / "meta.json").read_text())
     config = dict2namespace(meta["config"]) if "config" in meta else None
     opt_state = None
-    if opt_state_template is not None and (path / "opt_state.npy").exists():
-        leaves = np.load(path / "opt_state.npy", allow_pickle=True)
-        treedef = jax.tree_util.tree_structure(opt_state_template)
-        opt_state = jax.tree_util.tree_unflatten(treedef, list(leaves))
+    if opt_state_template is not None:
+        if (path / "opt_state").exists():
+            with ocp.StandardCheckpointer() as saver:
+                restored = saver.restore(
+                    path / "opt_state", jax.device_get(opt_state_template))
+            # StandardCheckpointer returns plain containers; rebuild the
+            # optax state classes from the template's treedef.
+            treedef = jax.tree_util.tree_structure(opt_state_template)
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, jax.tree_util.tree_leaves(restored))
+        elif (path / "opt_state.npy").exists():  # pre-round-2 checkpoints
+            leaves = np.load(path / "opt_state.npy", allow_pickle=True)
+            treedef = jax.tree_util.tree_structure(opt_state_template)
+            opt_state = jax.tree_util.tree_unflatten(treedef, list(leaves))
     return params, opt_state, meta.get("step", 0), config
 
 

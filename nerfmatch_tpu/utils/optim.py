@@ -1,7 +1,7 @@
 """Optimizer / LR-schedule factory on optax.
 
 Covers the reference's optimizer surface (``nerfmatch/utils/optim.py``):
-sgd/adam/adamw/rmsprop/radam optimizers; steplr (multistep), cosine
+sgd/adam/adamw/rmsprop/radam/ranger optimizers; steplr (multistep), cosine
 (CosineAnnealingLR semantics), poly, chained (linear-warmup + multistep) and
 gradual-warmup-wrapped schedules.  Schedules here are *epoch-indexed pure
 functions* ``f(epoch) -> lr`` combined with ``optax.inject_hyperparams`` so
@@ -13,7 +13,38 @@ from __future__ import annotations
 
 import math
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper keeping the slow weights inside the optimizer state
+    (optax's ``contrib.lookahead`` instead restructures the param pytree,
+    which would leak into every train step).  Requires ``params`` at update
+    time.  Ranger == RAdam + Lookahead(k=6, alpha=0.5) (reference
+    ``utils/optim.py:53``)."""
+
+    def init(params):
+        return {"inner": inner.init(params), "slow": params,
+                "step": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        assert params is not None, "lookahead requires params at update time"
+        upd, inner_state = inner.update(updates, state["inner"], params)
+        step = state["step"] + 1
+        sync = (step % sync_period) == 0
+        fast = optax.apply_updates(params, upd)
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s + slow_step_size * (f - s), s),
+            state["slow"], fast)
+        new_fast = jax.tree_util.tree_map(
+            lambda f, s: jnp.where(sync, s, f), fast, new_slow)
+        final = jax.tree_util.tree_map(lambda nf, p: nf - p, new_fast, params)
+        return final, {"inner": inner_state, "slow": new_slow, "step": step}
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_optimizer(config, lr: float | None = None):
@@ -35,6 +66,8 @@ def init_optimizer(config, lr: float | None = None):
             opt = optax.rmsprop(learning_rate, eps=eps)
         elif name == "radam":
             opt = optax.radam(learning_rate, eps=eps)
+        elif name == "ranger":
+            opt = lookahead(optax.radam(learning_rate, eps=eps))
         else:
             raise ValueError(f"optimizer not recognized: {name}")
         if wd > 0 and name != "adamw":

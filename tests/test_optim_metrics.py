@@ -24,7 +24,7 @@ def opt_cfg(**over):
 
 
 def test_optimizers_step():
-    for name in ["sgd", "adam", "adamw", "rmsprop", "radam"]:
+    for name in ["sgd", "adam", "adamw", "rmsprop", "radam", "ranger"]:
         cfg = opt_cfg(optimizer=name, momentum=0.9, weight_decay=0.01)
         opt = init_optimizer(cfg)
         params = {"w": jnp.ones((4,))}
@@ -33,6 +33,37 @@ def test_optimizers_step():
         upd, state = opt.update(grads, state, params)
         new = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
         assert np.all(np.asarray(new["w"]) < 1.0)
+
+
+def test_ranger_lookahead_sync():
+    """Ranger = RAdam + Lookahead(k=6, alpha=0.5): the slow weights pull the
+    fast weights back every 6th step, so a quadratic still converges and the
+    6th step differs from plain radam."""
+    import optax
+
+    cfg_r = opt_cfg(optimizer="ranger", lr=0.1, weight_decay=0.0)
+    cfg_a = opt_cfg(optimizer="radam", lr=0.1, weight_decay=0.0)
+    traj = {}
+    for tag, cfg in [("ranger", cfg_r), ("radam", cfg_a)]:
+        opt = init_optimizer(cfg)
+        params = {"w": jnp.asarray([4.0])}
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            grads = jax.grad(lambda p: jnp.sum(p["w"] ** 2))(params)
+            upd, state = opt.update(grads, state, params)
+            return optax.apply_updates(params, upd), state
+
+        vals = []
+        for _ in range(12):
+            params, state = step(params, state)
+            vals.append(float(params["w"][0]))
+        traj[tag] = vals
+    # identical for the first 5 steps, diverging at the first sync (step 6)
+    assert np.allclose(traj["ranger"][:5], traj["radam"][:5], atol=1e-6)
+    assert abs(traj["ranger"][5] - traj["radam"][5]) > 1e-4
+    assert abs(traj["ranger"][-1]) < 4.0  # converging
 
 
 def test_lr_injection():
