@@ -1,10 +1,17 @@
-"""Secondary benchmark: c2f matcher throughput (image-pairs/sec).
+"""Secondary benchmark: c2f matcher eval + train throughput.
 
 Production shapes from the BASELINE protocol: 480x480 query image ->
 ConvFormer-B36 two-scale features, 3600 image tokens vs 3600 NeRF points,
-dual-softmax + mutual extraction + fine subpixel refinement.  Prints one
-JSON line (same schema as bench.py) — kept separate so the driver's
+dual-softmax + mutual extraction + fine subpixel refinement; the train step
+additionally runs the focal+fine losses, grads and adam at batch size 2
+(configs/nerfmatch/nerfmatch_7scenes_sfm_c2f.yaml).  Prints one JSON line
+per metric (same schema as bench.py) — kept separate so the driver's
 headline metric stays rays/sec.
+
+Timing is pipelined with INDEPENDENT dispatches (fixed inputs, no step->step
+dependency) and a single device fetch — a dependent chain through the axon
+tunnel stalls ~0.9 s/step in the client even when device time is ~100 ms,
+which real PJRT hosts pipeline away.
 """
 
 from __future__ import annotations
@@ -60,7 +67,60 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / REF_PAIRS_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+    bench_train_step(model, params)
+
+
+def bench_train_step(model, params, bs: int = 2):
+    """Pipelined c2f train-step timing at the production batch size."""
+    import optax
+    from nerfmatch_tpu.train.matcher_trainer import C2FTrainStep
+
+    H = W = 480
+    N = 3600
+    M = (W // 8) * (H // 8)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (bs, H, W, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, N, 256)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, N, 3)) * 0.3, jnp.float32)
+    im_mask = jnp.ones((bs, M), jnp.float32)
+    pt_mask = jnp.ones((bs, N), jnp.float32)
+    conf_gt = np.zeros((bs, M, N), np.float32)
+    idx = rng.integers(0, N, M)
+    conf_gt[:, np.arange(M), idx] = 1.0
+    conf_gt = jnp.asarray(conf_gt)
+    pt2d = jnp.asarray(rng.uniform(0, W, (bs, M, 2)), jnp.float32)
+    pt2d_proj = jnp.asarray(rng.uniform(0, W, (bs, N, 2)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    coarse_only = jnp.asarray(False)
+
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    stepper = C2FTrainStep(model, opt)
+
+    args = (params, opt_state, img, pt_feat, pt3d, im_mask, pt_mask, conf_gt,
+            pt2d, pt2d_proj, key, coarse_only)
+    out = stepper.step(*args)
+    np.asarray(out[2]["loss"])  # sync
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = stepper.step(*args)
+    np.asarray(out[2]["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs_per_sec = bs / dt
+    # Reference trains 10k pairs/epoch on 8xA100 in wall-clock dominated by
+    # the step; a measured torch step is unavailable in-tree — scale vs the
+    # same 10 pairs/s stand-in as eval (one step processes bs pairs).
+    print(json.dumps({
+        "metric": "c2f_train_step_time",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step(bs2)",
+        "vs_baseline": round(pairs_per_sec / REF_PAIRS_PER_SEC, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 
+# Odd minimax polynomial for sin(2*pi*r), r in [-0.5, 0.5] (|err| < 1.8e-5 —
+# far below the bf16 cast that immediately follows).  The VPU's builtin sine
+# costs ~2.7 ms per 9216x128-sample stage (~16% of the kernel); the
+# range-reduce + 4-FMA polynomial is nearly free next to the matmuls.
+_SIN_C = (6.283088463027395, -41.33324754221887, 81.40008976706686,
+          -74.67588386951022, 33.16809461334938)
+_INV_2PI = 1.0 / (2.0 * np.pi)
+
+
+def _fast_sin(x):
+    """sin(x) for f32 x via cycle range reduction + odd poly (bf16-accurate)."""
+    r = x * _INV_2PI
+    r = r - jnp.round(r)
+    r2 = r * r
+    c1, c3, c5, c7, c9 = _SIN_C
+    return r * (c1 + r2 * (c3 + r2 * (c5 + r2 * (c7 + r2 * c9))))
+
 
 @dataclass(frozen=True)
 class FusedRenderSpec:
@@ -190,7 +207,7 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
         pre = oS_T + t_col * dS_T + wrefs["_phase"][...]   # (T, 128)
         vs = tv_col * dQ_T + rv_col * nQ_T
-        xb = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+        xb = (jnp.exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
 
         def mm(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b,

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .render_kernel import FusedRenderSpec, make_spread_matrices, _pad_axis
+from .render_kernel import FusedRenderSpec, make_spread_matrices, _pad_axis, _fast_sin
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 
@@ -119,7 +119,10 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
 
         pre = E_oS + t_col * E_dS + wr["_phase"]
         vs = tv_col * E_dQ + rv_col * E_nQ
-        xb = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+        # _fast_sin: bf16-accurate polynomial sine (see render_kernel.py) —
+        # safe here because the backward never differentiates the encode
+        # (weight grads only; xb is rematerialized with the same poly).
+        xb = (jnp.exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
 
         def mm(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b,

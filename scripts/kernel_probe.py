@@ -1,0 +1,433 @@
+"""Diagnostic kernel variants: localize non-MXU time in the fused render.
+
+Variants of ONE fused stage (9216 rays x 128 samples, 8x256 MLP):
+  base      — the production kernel (same math as render_kernel.py)
+  notrig    — IPE sin/exp replaced by a multiply (measures transcendentals)
+  nobias    — MLP epilogues reduced to relu only (measures VPU bias cost)
+  norelu    — pure matmul chain, heads kept (measures all epilogue VPU work)
+  mlponly   — matmul chain only, trivial composite (upper bound)
+  bigtile   — base at ray_tile 32
+  dispatch  — trivial jitted add (per-call floor through the tunnel)
+  batch4x   — base with 36864 rays (amortization check)
+
+Throwaway diagnostics; production kernel lives in ops/pallas/render_kernel.py.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+
+from nerfmatch_tpu.ops.pallas.render_kernel import (  # noqa: E402
+    FusedRenderSpec, make_spread_matrices, _pad_axis)
+
+S = 128
+HID = 256
+LAYERS = 8
+ITERS = 30
+
+
+def make_stage(variant: str, ray_tile: int = 16):
+    spec = FusedRenderSpec(ray_tile=ray_tile)
+    R = ray_tile
+    T = R * S
+    Sp, Sq, phase = make_spread_matrices(spec)
+    tri = jnp.tril(jnp.ones((S, S), jnp.float32), k=-1).T
+    expand = jnp.asarray(np.repeat(np.eye(R, dtype=np.float32), S, axis=0))
+
+    names = []
+
+    def kernel(*refs):
+        n_in = 5 + len(names)
+        o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
+        w = dict(zip(names, refs[5:n_in]))
+        rgb_ref, w_out_ref = refs[n_in:]
+
+        o8, d8, z = o_ref[...], d_ref[...], z_ref[...]
+
+        def rowmm(a, B):
+            return jnp.dot(a, B, preferred_element_type=jnp.float32)
+
+        xyz = w["_xyz"][...]
+        oS = rowmm(o8 * xyz, w["_Sp"][...])
+        dS = rowmm(d8, w["_Sp"][...])
+        dQ = rowmm(d8 * d8, w["_Sq"][...])
+        nQ = rowmm(xyz - d8 * d8, w["_Sq"][...])
+        E = w["_E"][...]
+        oS_T, dS_T, dQ_T, nQ_T = (rowmm(E, x) for x in (oS, dS, dQ, nQ))
+        tm = tmvr_ref[...]
+        pre = oS_T + tm[:, 0:1] * dS_T + w["_ph"][...]
+        vs = tm[:, 1:2] * dQ_T + tm[:, 2:3] * nQ_T
+        if variant == "split2":
+            def encode(sl):
+                oS = rowmm(o8[sl] * xyz, w["_Sp"][...])
+                dS = rowmm(d8[sl], w["_Sp"][...])
+                dQ = rowmm(d8[sl] * d8[sl], w["_Sq"][...])
+                nQ = rowmm(xyz - d8[sl] * d8[sl], w["_Sq"][...])
+                E2 = w["_E"][...][: T // 2, : R // 2]
+                oS_T, dS_T, dQ_T, nQ_T = (rowmm(E2, t) for t in (oS, dS, dQ, nQ))
+                tm2 = tmvr_ref[...][sl.start * S if sl.start else 0:
+                                    (sl.stop) * S]
+                pre = oS_T + tm2[:, 0:1] * dS_T + w["_ph"][...]
+                vs = tm2[:, 1:2] * dQ_T + tm2[:, 2:3] * nQ_T
+                return (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+
+            def mmb(a, b):
+                return jnp.dot(a.astype(jnp.bfloat16), b,
+                               preferred_element_type=jnp.float32)
+
+            xb1 = encode(slice(0, R // 2))
+            h1 = jax.nn.relu(mmb(xb1, w["w0"][...]) + w["b0"][...])
+            xb2 = encode(slice(R // 2, R))
+            h2 = jax.nn.relu(mmb(xb2, w["w0"][...]) + w["b0"][...])
+            hs = [h1, h2]
+            xbs = [xb1, xb2]
+            for k in range(1, LAYERS):
+                for j in range(2):
+                    acc = mmb(hs[j], w[f"w{k}"][...])
+                    if k == 4:
+                        acc = acc + mmb(xbs[j], w[f"w{k}s"][...])
+                    hs[j] = jax.nn.relu(acc + w[f"b{k}"][...])
+            h_all = jnp.concatenate(hs, axis=0)
+            feature = mmb(h_all, w["wf"][...])
+            sigma_raw = jnp.sum(h_all.reshape(R, S, HID)
+                                * w["wa"][...][None, None, :], axis=-1)
+            hv = mmb(feature, w["wvh"][...])
+            hv = jax.nn.relu(
+                hv.reshape(R, S, -1)
+                + rowmm(extras_ref[...].astype(jnp.bfloat16),
+                        w["wvx"][...])[:, None, :])
+            rgb = jax.nn.sigmoid(
+                mmb(hv.reshape(T, -1), w["wrgb"][...])).reshape(R, S, -1)
+            t0, t1 = z[:, :-1], z[:, 1:]
+            sigma = jax.nn.relu(sigma_raw)
+            alpha = 1.0 - jnp.exp(-sigma * (t1 - t0))
+            log_t = jnp.log(1.0 - alpha + 1e-10)
+            csum = rowmm(log_t, w["_tri"][...])
+            weights = alpha * jnp.exp(csum)
+            rgb_ref[...] = jnp.sum(weights[:, :, None] * rgb, axis=1)
+            w_out_ref[...] = weights
+            return
+        if variant == "polysin":
+            r = pre * (1.0 / (2.0 * np.pi))
+            r = r - jnp.round(r)
+            r2 = r * r
+            sn = r * (6.283088463 + r2 * (-41.33324754 + r2 * (81.40008977
+                      + r2 * (-74.67588387 + r2 * 33.16809461))))
+            xb = (jnp.exp(-0.5 * vs) * sn).astype(jnp.bfloat16)
+        elif variant == "nosin":
+            xb = jnp.exp(-0.5 * vs).astype(jnp.bfloat16)
+        elif variant == "noexp":
+            xb = jnp.sin(pre).astype(jnp.bfloat16)
+        elif variant == "noenc":
+            xb = tmvr_ref[...][:, 0:1].astype(jnp.bfloat16) * w["w0"][...][0:1, :][:, :128].reshape(1, -1)[:, :128] if False else jnp.zeros((T, 128), jnp.bfloat16) + tmvr_ref[...][:, 0:1].astype(jnp.bfloat16)
+        elif variant == "notrig":
+            xb = (pre * vs).astype(jnp.bfloat16)
+        else:
+            xb = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16), b,
+                           preferred_element_type=jnp.float32)
+
+        h = mm(xb, w["w0"][...])
+        if variant not in ("norelu", "mlponly"):
+            h = h + w["b0"][...] if variant != "nobias" else h
+            h = jax.nn.relu(h)
+        for i in range(1, LAYERS):
+            acc = mm(h, w[f"w{i}"][...])
+            if i == 4:
+                acc = acc + mm(xb, w[f"w{i}s"][...])
+            if variant not in ("norelu", "mlponly"):
+                if variant != "nobias":
+                    acc = acc + w[f"b{i}"][...]
+                acc = jax.nn.relu(acc)
+            h = acc
+
+        if variant == "lite":
+            sigma_raw = jnp.sum(h.reshape(R, S, HID) * w["wa"][...][None, None, :],
+                                axis=-1)
+            t0, t1 = z[:, :-1], z[:, 1:]
+            sigma = jax.nn.relu(sigma_raw)
+            alpha = 1.0 - jnp.exp(-sigma * (t1 - t0))
+            log_t = jnp.log(1.0 - alpha + 1e-10)
+            csum = rowmm(log_t, w["_tri"][...])
+            weights = alpha * jnp.exp(csum)
+            rgb_ref[...] = weights
+            w_out_ref[...] = weights
+            return
+        feature = mm(h, w["wf"][...])
+        if variant == "sigmamm":
+            sigma_raw = mm(h, w["wa_col"][...])[:, 0].reshape(R, S)
+        elif variant == "nosigma":
+            sigma_raw = z_ref[...][:, :-1]
+        else:
+            sigma_raw = jnp.sum(h.reshape(R, S, HID) * w["wa"][...][None, None, :],
+                                axis=-1)
+        hv = mm(feature, w["wvh"][...])
+        if variant != "mlponly":
+            hv = jax.nn.relu(
+                hv.reshape(R, S, -1)
+                + rowmm(extras_ref[...].astype(jnp.bfloat16), w["wvx"][...])[:, None, :])
+            rgb = jax.nn.sigmoid(
+                mm(hv.reshape(T, -1), w["wrgb"][...])).reshape(R, S, -1)
+        else:
+            rgb = mm(hv, w["wrgb"][...]).reshape(R, S, -1)
+
+        t0, t1 = z[:, :-1], z[:, 1:]
+        if variant == "mlponly":
+            weights = sigma_raw
+        else:
+            sigma = jax.nn.relu(sigma_raw)
+            alpha = 1.0 - jnp.exp(-sigma * (t1 - t0))
+            log_t = jnp.log(1.0 - alpha + 1e-10)
+            csum = rowmm(log_t, w["_tri"][...])
+            weights = alpha * jnp.exp(csum)
+        if variant == "norgbsum":
+            rgb_ref[...] = rgb[:, 0, :]
+        else:
+            rgb_ref[...] = jnp.sum(weights[:, :, None] * rgb, axis=1)
+        w_out_ref[...] = weights
+
+    weights = {
+        "_Sp": Sp, "_xyz": jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32), "_Sq": Sq, "_ph": phase, "_tri": tri, "_E": expand,
+        "w0": jnp.zeros((128, HID), jnp.bfloat16),
+        "wf": jnp.ones((HID, HID), jnp.bfloat16) * 0.01,
+        "wa": jnp.ones((HID,), jnp.float32),
+        "wa_col": jnp.concatenate([jnp.ones((HID, 1), jnp.bfloat16),
+                                   jnp.zeros((HID, 127), jnp.bfloat16)], 1),
+        "wvh": jnp.ones((HID, 128), jnp.bfloat16) * 0.01,
+        "wvx": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "wrgb": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "w4s": jnp.zeros((128, HID), jnp.bfloat16),
+    }
+    for i in range(LAYERS):
+        weights[f"b{i}"] = jnp.zeros((HID,), jnp.float32)
+        if i:
+            weights[f"w{i}"] = jnp.ones((HID, HID), jnp.bfloat16) * 0.01
+    names.extend(sorted(weights))
+
+    def run(o8, d8, z, tmvr, extras):
+        N = z.shape[0]
+        grid = (N // R,)
+
+        def const_spec(arr):
+            nd = arr.ndim
+            return pl.BlockSpec(arr.shape, lambda i, _n=nd: (0,) * _n,
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [const_spec(weights[k]) for k in names]
+        out_specs = [
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N, S), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(o8, d8, z, tmvr, extras, *[weights[k] for k in names])
+
+    return run
+
+
+def make_pipe(ray_tile: int = 16):
+    """Software-pipelined stage: encode (VPU trig) of tile i runs in the same
+    grid step as the MLP (MXU) of tile i-1, through a double-buffered VMEM
+    scratch — independent chains the scheduler can overlap."""
+    spec = FusedRenderSpec(ray_tile=ray_tile)
+    R = ray_tile
+    T = R * S
+    Sp, Sq, phase_v = make_spread_matrices(spec)
+    tri = jnp.tril(jnp.ones((S, S), jnp.float32), k=-1).T
+    expand = jnp.asarray(np.repeat(np.eye(R, dtype=np.float32), S, axis=0))
+
+    names = []
+
+    def kernel(*refs):
+        n_in = 5 + len(names)
+        o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
+        w = dict(zip(names, refs[5:n_in]))
+        rgb_ref, w_out_ref, xb_scr = refs[n_in:]
+
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        ph = jax.lax.rem(i, 2)
+
+        def rowmm(a, B):
+            return jnp.dot(a, B, preferred_element_type=jnp.float32)
+
+        @pl.when(i < n - 1)
+        def _encode():
+            o8, d8 = o_ref[...], d_ref[...]
+            xyz = w["_xyz"][...]
+            oS = rowmm(o8 * xyz, w["_Sp"][...])
+            dS = rowmm(d8, w["_Sp"][...])
+            dQ = rowmm(d8 * d8, w["_Sq"][...])
+            nQ = rowmm(xyz - d8 * d8, w["_Sq"][...])
+            E = w["_E"][...]
+            oS_T, dS_T, dQ_T, nQ_T = (rowmm(E, x) for x in (oS, dS, dQ, nQ))
+            tm = tmvr_ref[...]
+            pre = oS_T + tm[:, 0:1] * dS_T + w["_ph"][...]
+            vs = tm[:, 1:2] * dQ_T + tm[:, 2:3] * nQ_T
+            xb_scr[ph] = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+
+        @pl.when(i > 0)
+        def _mlp():
+            xb = xb_scr[1 - ph]
+            z = z_ref[...]
+
+            def mm(a, b):
+                return jnp.dot(a.astype(jnp.bfloat16), b,
+                               preferred_element_type=jnp.float32)
+
+            h = jax.nn.relu(mm(xb, w["w0"][...]) + w["b0"][...])
+            for k in range(1, LAYERS):
+                acc = mm(h, w[f"w{k}"][...])
+                if k == 4:
+                    acc = acc + mm(xb, w[f"w{k}s"][...])
+                h = jax.nn.relu(acc + w[f"b{k}"][...])
+            feature = mm(h, w["wf"][...])
+            sigma_raw = mm(h, w["wa_col"][...])[:, 0].reshape(R, S)
+            hv = mm(feature, w["wvh"][...])
+            hv = jax.nn.relu(
+                hv.reshape(R, S, -1)
+                + rowmm(extras_ref[...].astype(jnp.bfloat16),
+                        w["wvx"][...])[:, None, :])
+            rgb = jax.nn.sigmoid(
+                mm(hv.reshape(T, -1), w["wrgb"][...])).reshape(R, S, -1)
+
+            t0, t1 = z[:, :-1], z[:, 1:]
+            sigma = jax.nn.relu(sigma_raw)
+            alpha = 1.0 - jnp.exp(-sigma * (t1 - t0))
+            log_t = jnp.log(1.0 - alpha + 1e-10)
+            csum = rowmm(log_t, w["_tri"][...])
+            weights = alpha * jnp.exp(csum)
+            rgb_ref[...] = jnp.sum(weights[:, :, None] * rgb, axis=1)
+            w_out_ref[...] = weights
+
+    weights = {
+        "_Sp": Sp, "_Sq": Sq, "_ph": phase_v, "_tri": tri, "_E": expand,
+        "_xyz": jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32),
+        "w0": jnp.zeros((128, HID), jnp.bfloat16),
+        "wf": jnp.ones((HID, HID), jnp.bfloat16) * 0.01,
+        "wa_col": jnp.concatenate([jnp.ones((HID, 1), jnp.bfloat16),
+                                   jnp.zeros((HID, 127), jnp.bfloat16)], 1),
+        "wvh": jnp.ones((HID, 128), jnp.bfloat16) * 0.01,
+        "wvx": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "wrgb": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "w4s": jnp.zeros((128, HID), jnp.bfloat16),
+    }
+    for k in range(LAYERS):
+        weights[f"b{k}"] = jnp.zeros((HID,), jnp.float32)
+        if k:
+            weights[f"w{k}"] = jnp.ones((HID, HID), jnp.bfloat16) * 0.01
+    names.extend(sorted(weights))
+
+    def run(o8, d8, z, tmvr, extras):
+        N = z.shape[0]
+        nblk = N // R
+        grid = (nblk + 1,)
+
+        def enc_map(i):
+            return (jnp.minimum(i, nblk - 1), 0)
+
+        def mlp_map(i):
+            return (jnp.maximum(i - 1, 0), 0)
+
+        def const_spec(arr):
+            nd = arr.ndim
+            return pl.BlockSpec(arr.shape, lambda i, _n=nd: (0,) * _n,
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            pl.BlockSpec((R, 8), enc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), enc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S + 1), mlp_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * S, 8), enc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), mlp_map, memory_space=pltpu.VMEM),
+        ] + [const_spec(weights[k]) for k in names]
+        out_specs = [
+            pl.BlockSpec((R, 128), mlp_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), mlp_map, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N, S), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((2, R * S, 128), jnp.bfloat16)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(o8, d8, z, tmvr, extras, *[weights[k] for k in names])
+
+    return run
+
+
+def inputs(batch):
+    rng = np.random.default_rng(0)
+    o8 = jnp.asarray(rng.normal(size=(batch, 8)), jnp.float32)
+    d8 = jnp.asarray(rng.normal(size=(batch, 8)), jnp.float32)
+    z = jnp.sort(jnp.asarray(rng.uniform(0.1, 1.5, (batch, S + 1)),
+                             jnp.float32), axis=1)
+    tmvr = jnp.asarray(rng.uniform(0.1, 1.0, (batch * S, 8)), jnp.float32)
+    extras = jnp.asarray(rng.normal(size=(batch, 128)), jnp.float32)
+    return o8, d8, z, tmvr, extras
+
+
+def timeit(fn, args, iters=ITERS, rounds=3):
+    best = float("inf")
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main(variants):
+    for v in variants:
+        if v == "dispatch":
+            x = jnp.zeros((128, 128))
+            fn = jax.jit(lambda x: x + 1.0)
+            dt = timeit(fn, (x,), iters=100)
+            print(f"{v:>9}: {dt*1e3:8.3f} ms", flush=True)
+            continue
+        batch = 36864 if v == "batch4x" else 9216
+        tile = 32 if v == "bigtile" else 16
+        kv = "base" if v in ("bigtile", "batch4x") else v
+        fn = jax.jit(make_pipe(ray_tile=tile) if kv == "pipe"
+                     else make_stage(kv, ray_tile=tile))
+        dt = timeit(fn, inputs(batch))
+        rps = batch / dt
+        print(f"{v:>9}: {dt*1e3:8.2f} ms  {rps:10.0f} rays/s(1stage)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or
+         ["dispatch", "base", "notrig", "nobias", "norelu", "mlponly",
+          "bigtile", "batch4x"])
