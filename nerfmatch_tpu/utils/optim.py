@@ -75,7 +75,11 @@ def init_optimizer(config, lr: float | None = None):
             opt = optax.chain(optax.add_decayed_weights(wd), opt)
         return opt
 
-    return optax.inject_hyperparams(base)(learning_rate=lr)
+    # Strong-typed f32 scalar: a Python float here (or in set_lr) traces as
+    # weak_type=True, while the state a train step RETURNS carries a strong
+    # f32 — so the second step would recompile the whole program.
+    return optax.inject_hyperparams(base)(
+        learning_rate=jnp.asarray(lr, jnp.float32))
 
 
 def get_lr(opt_state) -> float:
@@ -83,7 +87,7 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = lr
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

@@ -21,7 +21,7 @@ def scene(tmp_path_factory):
                        correlated_feats=True)
 
 
-def run_steps(cfg, mesh, n_steps=5):
+def run_steps(cfg, mesh, n_steps=3):
     from nerfmatch_tpu.train.nerf_trainer import NerfTrainer
     from nerfmatch_tpu.data import init_data_loader
 
@@ -44,11 +44,11 @@ def run_steps(cfg, mesh, n_steps=5):
 
 
 def test_mesh_size_invariance(scene, tmp_path):
-    """The SPMD train step gives identical losses on 1-, 2-, 4- and 8-way
-    data-parallel meshes (same global batch, same RNG)."""
+    """The SPMD train step gives identical losses on a 1-way and an 8-way
+    data-parallel mesh (same global batch, same RNG)."""
     cfg = nerf_train_config(scene, tmp_path)
     ref_losses, ref_params = run_steps(cfg, make_mesh(data=1, devices=jax.devices()[:1]))
-    for n in [2, 8]:
+    for n in [8]:
         losses, params = run_steps(cfg, make_mesh(data=n))
         assert np.allclose(losses, ref_losses, rtol=2e-4), (n, losses, ref_losses)
     # Params converge to the same values too.

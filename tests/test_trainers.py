@@ -119,7 +119,7 @@ def matcher_config(scene, odir, coarse=True):
                   "cbs": 4, "weight_decay": 0.0, "lr_scheduler": "cosine",
                   "coarse_only_epochs": 1 if not coarse else 0},
         "exp": {"seed": 2, "odir": str(odir), "prefix": "t", "num_workers": 0,
-                "max_epochs": 2, "check_epochs": 1, "batch_size": 2,
+                "max_epochs": 1, "check_epochs": 1, "batch_size": 2,
                 "debug": True},
     })
 
