@@ -153,31 +153,15 @@ class NeRFMatchEvaluator:
         multi = pt3d.ndim == 4
         t0 = time.perf_counter()
         if multi:
+            # Multi-pair: one device program (image features shared, pairs
+            # mapped with lax.map), stacked dense matches (K, B, M).
             K_pairs = pt3d.shape[1]
             outs = self.model.forward_multi_pair(
                 self.params, img, pt_feat, jnp.asarray(pt3d),
                 im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
-                match_thres=match_thres) if self.coarse_only else None
-            if not self.coarse_only:
-                # c2f multi-pair: loop pairs on host (bounded by topk).
-                all2d, all3d = [], []
-                for k in range(K_pairs):
-                    sub = {
-                        "image": batch["image"],
-                        "pt3d": pt3d[:, k],
-                        "pt_feat": np.asarray(batch["pt_feat"])[:, k],
-                        "im_mask": np.asarray(batch["im_mask"]),
-                        "pt_mask": np.asarray(batch["pt_mask"])[:, k],
-                        "pt2d": batch["pt2d"],
-                    }
-                    p2, p3 = self._extract_matches_host(sub, mutual, match_thres)
-                    all2d.append(p2)
-                    all3d.append(p3)
-                self.timer["match_time"].append(
-                    (time.perf_counter() - t0) / K_pairs)
-                return np.concatenate(all2d), np.concatenate(all3d)
-            # coarse multi-pair: outs stacked (K, B, M)
+                match_thres=match_thres)
             outs = jax.device_get(outs)
+            use_fine = "expec_f" in outs
             all2d, all3d = [], []
             for k in range(K_pairs):
                 lists = dense_to_match_lists(
@@ -185,7 +169,14 @@ class NeRFMatchEvaluator:
                      ("j_ids", "mconf", "valid")}, self.max_matches)
                 lists = jax.device_get(lists)
                 valid = lists["valid"][0]
-                all2d.append(pt2d[lists["i_ids"][0][valid]])
+                i_ids = lists["i_ids"][0][valid]
+                mpt2d = pt2d[i_ids]
+                if use_fine:
+                    M = outs["j_ids"].shape[2]
+                    expec = outs["expec_f"][k].reshape(-1, M, 3)[0][i_ids]
+                    mpt2d = np.asarray(self.model.fine_coords(
+                        jnp.asarray(expec), jnp.asarray(mpt2d)))
+                all2d.append(mpt2d)
                 all3d.append(pt3d[0, k][lists["j_ids"][0][valid]])
             self.timer["match_time"].append((time.perf_counter() - t0) / K_pairs)
             return np.concatenate(all2d), np.concatenate(all3d)

@@ -252,6 +252,44 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             out["pt_cfeat"] = pt_n
         return out
 
+    def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
+                           pt_mask=None, mutual: bool = False,
+                           match_thres: float = 0.0):
+        """Top-k retrieval pairs, device-resident (replaces the reference's
+        per-pair host loop, ``nerfmatch_evaluator.py:150-230``): the two-scale
+        image features are extracted ONCE, then the per-pair point path +
+        coarse matching + dense fine stage run under ``lax.map`` over the
+        pair axis (bounded memory).  pt tensors carry (B, K, N, .); returns
+        stacked dense matches (K, B, M) + ``expec_f`` (K, B*M, 3)."""
+        cfg = self.cfg
+        im_cfeat0, fmap_f = self.extract_im_feat_ms(params, img)
+        coarse_w = img.shape[2] // 8
+        B, M = im_cfeat0.shape[0], im_cfeat0.shape[1]
+        b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
+        i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
+
+        def one_pair(args):
+            ipt_feat, ipt3d, ipt_mask = args
+            pt_cfeat = self.extract_pt_feat(params, ipt_feat, ipt3d)
+            im_cfeat, pt_cfeat = self.apply_coarse_former(
+                params, im_cfeat0, pt_cfeat)
+            conf, _, _ = dual_softmax(
+                im_cfeat, pt_cfeat, params["temperature"], im_mask, ipt_mask,
+                temp_type=cfg.temp_type)
+            matches = extract_mutual_matches(conf, mutual=mutual,
+                                             threshold=match_thres)
+            expec_f = self.forward_fine(
+                params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
+                matches["j_ids"].reshape(-1), coarse_w)
+            return {"j_ids": matches["j_ids"], "mconf": matches["mconf"],
+                    "valid": matches["valid"], "expec_f": expec_f}
+
+        pt_feat_k = jnp.swapaxes(pt_feat, 0, 1)
+        pt3d_k = jnp.swapaxes(pt3d, 0, 1)
+        pt_mask_k = (jnp.swapaxes(pt_mask, 0, 1) if pt_mask is not None
+                     else jnp.ones(pt_feat_k.shape[:3], jnp.float32))
+        return jax.lax.map(one_pair, (pt_feat_k, pt3d_k, pt_mask_k))
+
     def fine_coords(self, expec_f, mpt2d_c):
         """Window-normalized offsets -> image-resolution fine coords."""
         return mpt2d_c + expec_f[:, :2] * self.cfg.win_sz / 2 * self.cfg.fine_ds

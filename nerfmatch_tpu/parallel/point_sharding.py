@@ -1,0 +1,109 @@
+"""Point-axis-sharded coarse matching (net-new TPU design, SURVEY §5).
+
+The reference computes the full O(M x N) dual-softmax on one device
+(``nerfmatch_c2f_trainer.py:294-299``); with multi-pair retrieval the point
+count grows as N*pair_topk (3600*10 on Cambridge) and the (M, N) confidence
+matrix with it.  Here the POINT axis is sharded over the mesh: every device
+holds the full M image tokens and an N/devices slice of the points, computes
+its (M, N/d) block, and the cross-point softmax normalization + global
+argmax ride ICI collectives (``pmax``/``psum``/``all_gather`` over (B, M)
+row statistics — never the (M, N) matrix itself).
+
+Semantics are bit-matched to :func:`nerfmatch_tpu.ops.matching.dual_softmax`
++ :func:`extract_mutual_matches` (tests/test_parallel.py asserts equality on
+the 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.matching import NEG_INF
+
+
+def _nrm(f):
+    return f / (jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True) + 1e-12)
+                + 1e-6)
+
+
+def sharded_point_match(mesh, im_feat, pt_feat, temperature, im_mask=None,
+                        pt_mask=None, temp_type: str = "mul",
+                        mutual: bool = True, threshold: float = 0.0,
+                        axis: str = "data"):
+    """Dual-softmax + mutual match extraction with points sharded on ``axis``.
+
+    im_feat (B, M, D) replicated; pt_feat (B, N, D) sharded on dim 1
+    (N must divide the axis size).  Returns the same dense match dict as
+    ``extract_mutual_matches`` — j_ids are GLOBAL point indices — replicated.
+    """
+    from jax import shard_map
+
+    B, M, _ = im_feat.shape
+    N = pt_feat.shape[1]
+    n_dev = mesh.shape[axis]
+    assert N % n_dev == 0, f"point count {N} % mesh axis {n_dev} != 0"
+    if im_mask is None:
+        im_mask = jnp.ones((B, M), jnp.float32)
+    if pt_mask is None:
+        pt_mask = jnp.ones((B, N), jnp.float32)
+
+    def local_fn(im_feat, pt_feat, im_mask, pt_mask, temperature):
+        idx = jax.lax.axis_index(axis)
+        Nl = pt_feat.shape[1]
+        sim = jnp.einsum("bmd,bnd->bmn", _nrm(im_feat), _nrm(pt_feat))
+        sim = sim / temperature if temp_type == "div" else sim * temperature
+        cell_valid = (im_mask[:, :, None] * pt_mask[:, None, :]) > 0
+        sim = jnp.where(cell_valid, sim, NEG_INF)
+
+        # softmax over M (image axis): every device holds all M rows of its
+        # point columns — purely local.
+        soft_m = jax.nn.softmax(sim, axis=1)
+        # softmax over the GLOBAL point axis: max/sum ride ICI as (B, M)
+        # row statistics.
+        m_loc = jnp.max(sim, axis=2, keepdims=True)
+        m_glob = jax.lax.pmax(m_loc, axis)
+        e = jnp.exp(sim - m_glob)
+        s_glob = jax.lax.psum(jnp.sum(e, axis=2, keepdims=True), axis)
+        conf = soft_m * (e / s_glob)
+
+        # extract_mutual_matches semantics on the sharded conf:
+        row_max_glob = jax.lax.pmax(jnp.max(conf, axis=2, keepdims=True), axis)
+        mask = (conf > threshold) & (conf == row_max_glob)
+        if mutual:
+            # col max is over M — local per point column.
+            mask = mask & (conf == jnp.max(conf, axis=1, keepdims=True))
+
+        masked = jnp.where(mask, conf, 0.0)
+        lv = jnp.max(masked, axis=2)                        # (B, M)
+        la = jnp.argmax(masked, axis=2).astype(jnp.int32) + idx * Nl
+        valid_l = jnp.any(mask, axis=2)
+
+        all_lv = jax.lax.all_gather(lv, axis)               # (n_dev, B, M)
+        all_la = jax.lax.all_gather(la, axis)
+        all_valid = jax.lax.all_gather(valid_l, axis)
+        # Unsharded argmax takes the FIRST max index; all_gather orders by
+        # device = ascending global offset, and argmax picks the first max.
+        dev = jnp.argmax(all_lv, axis=0)                    # (B, M)
+        j_ids = jnp.take_along_axis(all_la, dev[None], axis=0)[0]
+        mconf = jnp.take_along_axis(all_lv, dev[None], axis=0)[0]
+        valid = jnp.any(all_valid, axis=0)
+        mconf = jnp.where(valid, mconf, 0.0)
+        return j_ids, mconf, valid
+
+    # check_vma can't statically infer that the all_gather+argmax outputs
+    # are replicated; they are (same reduction on every device).
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(), P(None, axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    pt_feat = jax.device_put(pt_feat, NamedSharding(mesh, P(None, axis, None)))
+    pt_mask = jax.device_put(jnp.asarray(pt_mask, jnp.float32),
+                             NamedSharding(mesh, P(None, axis)))
+    j_ids, mconf, valid = sharded(
+        im_feat, pt_feat, jnp.asarray(im_mask, jnp.float32), pt_mask,
+        jnp.asarray(temperature, jnp.float32))
+    return {"j_ids": j_ids, "mconf": mconf, "valid": valid}

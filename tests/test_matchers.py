@@ -104,6 +104,30 @@ def test_coarse_matcher_multi_pair():
     assert out["mconf"].shape == (K, 1, M)
 
 
+def test_c2f_matcher_multi_pair_matches_single():
+    """Device-resident c2f multi-pair (lax.map over pairs, shared image
+    features) must agree with the single-pair forward for every pair."""
+    model = NeRFMatcherMS(tiny_c2f_cfg())
+    params = model.init_params(jax.random.PRNGKey(0))
+    img, _, _ = rand_inputs(jax.random.PRNGKey(1), b=1)
+    K = 3
+    pt_feat = jax.random.normal(jax.random.PRNGKey(2), (1, K, N_PTS, 16))
+    pt3d = jax.random.normal(jax.random.PRNGKey(3), (1, K, N_PTS, 3))
+    pt_mask = jnp.ones((1, K, N_PTS))
+    out = model.forward_multi_pair(params, img, pt_feat, pt3d,
+                                   pt_mask=pt_mask, mutual=True)
+    M = (IMG // 8) ** 2
+    assert out["j_ids"].shape == (K, 1, M)
+    assert out["expec_f"].shape == (K, M, 3)
+    for k in range(K):
+        single = model.forward_match(params, img, pt_feat[:, k], pt3d[:, k],
+                                     pt_mask=pt_mask[:, k], mutual=True)
+        assert np.array_equal(np.asarray(out["j_ids"][k]),
+                              np.asarray(single["j_ids"]))
+        assert np.allclose(np.asarray(out["expec_f"][k]),
+                           np.asarray(single["expec_f"]), atol=1e-5)
+
+
 def test_c2f_matcher_forward():
     model = NeRFMatcherMS(tiny_c2f_cfg())
     params = model.init_params(jax.random.PRNGKey(0))

@@ -90,3 +90,35 @@ def test_shard_batch_layout():
     sb = shard_batch(batch, mesh)
     assert sb["rays"].sharding.spec[0] == "data"
     assert sb["name"] == ["a"]
+
+
+def test_sharded_point_match_equals_dense():
+    """Point-axis-sharded dual-softmax + mutual extraction (SURVEY §5
+    net-new design) matches the single-device ops bit-for-bit on the
+    8-device mesh, including masks and thresholds."""
+    from nerfmatch_tpu.ops.matching import dual_softmax, extract_mutual_matches
+    from nerfmatch_tpu.parallel.point_sharding import sharded_point_match
+
+    B, M, N, D = 2, 24, 64, 16
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.normal(size=(B, M, D)), jnp.float32)
+    pt = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    im_mask = jnp.asarray(rng.uniform(size=(B, M)) > 0.2, jnp.float32)
+    pt_mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2, jnp.float32)
+    temp = jnp.asarray(10.0)
+
+    for mutual, thr, ttype in [(True, 0.0, "mul"), (False, 1e-4, "mul"),
+                               (True, 0.0, "div")]:
+        conf, _, _ = dual_softmax(im, pt, temp, im_mask, pt_mask,
+                                  temp_type=ttype)
+        ref = extract_mutual_matches(conf, mutual=mutual, threshold=thr)
+        mesh = make_mesh(data=8)
+        out = sharded_point_match(mesh, im, pt, temp, im_mask, pt_mask,
+                                  temp_type=ttype, mutual=mutual,
+                                  threshold=thr)
+        assert np.array_equal(np.asarray(out["valid"]), np.asarray(ref["valid"]))
+        v = np.asarray(ref["valid"])
+        assert np.array_equal(np.asarray(out["j_ids"])[v],
+                              np.asarray(ref["j_ids"])[v])
+        assert np.allclose(np.asarray(out["mconf"]), np.asarray(ref["mconf"]),
+                           atol=1e-6)
