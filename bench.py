@@ -11,11 +11,20 @@ the end (the axon PJRT backend dispatches asynchronously; per-call host
 fetches would add ~25 ms tunnel RTT to every iteration).
 
 vs_baseline compares against an estimated PyTorch reference throughput on an
-A100 for the same forward render (~100k rays/s: 2.36M MLP samples per 9216-ray
-batch at ~1.1 MFLOP/sample fp32/TF32 with framework overhead, consistent with
-public mip-NeRF torch implementations).  The reference repo publishes no
-in-tree number (SURVEY §6); this constant is the documented stand-in until a
-measured A100 torch baseline replaces it.
+A100 for the same forward render.  The reference repo publishes no in-tree
+number (SURVEY §6); this constant is the documented stand-in until a measured
+A100 torch baseline replaces it.  Roofline context (measured on this chip,
+scripts/mm_roofline.py + scripts/kernel_probe.py, min-of-3 pipelined):
+
+* per-ray work: 2 stages x 128 samples x ~0.64 M MACs (8x256 MLP + skip +
+  feature/views/rgb heads) = ~328 MFLOP/ray;
+* v5e bf16 peak 197 TFLOP/s -> speed-of-light 600k rays/s; an 8-deep
+  (2048, 256)x(256, 256) matmul chain in Pallas measures 78% MFU on this
+  chip -> practical ceiling ~470k rays/s; the fused kernel currently runs
+  ~53% MFU end-to-end (encode + composite VPU work on top of the chain);
+* the A100 divisor: TF32 peak 156 TFLOP/s; public torch mip-NeRF evals run
+  ~15-25% MFU (chunked MLP, unfused encode/compositing, framework overhead)
+  -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -69,6 +69,9 @@ class FusedRenderSpec:
     ray_tile: int = 16
     feat_layer: int = 3          # stop-layer feature tap
     white_bg: bool = False
+    ret_feat: bool = True        # emit composited feat/pts (fine stage only
+                                 # consumes them; the coarse pass skips the
+                                 # (R, S, hid) weighted reductions + outputs)
 
 
 def _pad_axis(x, size, axis):
@@ -162,7 +165,11 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         n_in = 5 + len(weight_names)
         o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
         wrefs = dict(zip(weight_names, refs[5:n_in]))
-        rgb_ref, depth_ref, acc_ref, w_out_ref, feat_ref, pts_ref = refs[n_in:]
+        if spec.ret_feat:
+            rgb_ref, depth_ref, acc_ref, w_out_ref, feat_ref, pts_ref = \
+                refs[n_in:]
+        else:
+            rgb_ref, depth_ref, acc_ref, w_out_ref = refs[n_in:]
 
         o8 = o_ref[...]                           # (R, 8): o | radius | 0...
         d8 = d_ref[...]                           # (R, 8): unit d | 0...
@@ -255,18 +262,19 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         if spec.white_bg:
             rgb_map = rgb_map + (1.0 - acc)
 
-        feat3 = feat_tap.reshape(R, S, hid)
-        feat_map = jnp.sum(weights[:, :, None] * feat3, axis=1)
-        # Composited points: sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
-        tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
-        pts_map = (o8 * acc + d8 * tw) * xyz      # (R, 8); cols 0:3 real
-
         rgb_ref[...] = rgb_map                    # (R, 128); cols 0:3 real
         depth_ref[...] = depth
         acc_ref[...] = acc
         w_out_ref[...] = weights
-        feat_ref[...] = feat_map
-        pts_ref[...] = pts_map
+        if spec.ret_feat:
+            feat3 = feat_tap.reshape(R, S, hid)
+            feat_map = jnp.sum(weights[:, :, None] * feat3, axis=1)
+            # Composited points:
+            # sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
+            tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
+            pts_map = (o8 * acc + d8 * tw) * xyz  # (R, 8); cols 0:3 real
+            feat_ref[...] = feat_map
+            pts_ref[...] = pts_map
 
     def fused(weights_packed: dict, o8, d8, z_vals, extras):
         weights_packed = {**weights_packed, **consts}
@@ -310,17 +318,24 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, hid), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((N, 128), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, S), jnp.float32),
-            jax.ShapeDtypeStruct((N, hid), jnp.float32),
-            jax.ShapeDtypeStruct((N, 8), jnp.float32),
         ]
+        if spec.ret_feat:
+            out_specs += [
+                pl.BlockSpec((R, hid), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((N, hid), jnp.float32),
+                jax.ShapeDtypeStruct((N, 8), jnp.float32),
+            ]
         outs = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
@@ -328,9 +343,13 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 vmem_limit_bytes=64 * 1024 * 1024),
         )(o8, d8, z_vals, tmvr, extras,
           *[weights_packed[k] for k in weight_names])
-        rgb_p, depth, acc, w, feat, pts_p = outs
-        return dict(rgb=rgb_p[:, :3], depth=depth[:, 0], acc=acc[:, 0],
-                    weights=w, feat=feat, pts=pts_p[:, :3])
+        rgb_p, depth, acc, w = outs[:4]
+        out = dict(rgb=rgb_p[:, :3], depth=depth[:, 0], acc=acc[:, 0],
+                   weights=w)
+        if spec.ret_feat:
+            out["feat"] = outs[4]
+            out["pts"] = outs[5][:, :3]
+        return out
 
     return fused
 
@@ -370,6 +389,11 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         feat_layer=fine_cfg.stop_layer if fine_cfg.stop_layer >= 0 else 3,
         white_bg=cfg.white_bg)
     fused = make_fused_render(spec, interpret=interpret)
+    # Coarse pass: only rgb/depth/weights are consumed downstream — skip the
+    # composited feat/pts reductions and outputs.
+    import dataclasses as _dc
+    fused_coarse = make_fused_render(_dc.replace(spec, ret_feat=False),
+                                     interpret=interpret)
 
     assert renderer.dirs_emb_dim + app_dim <= spec.extra_dim
 
@@ -393,7 +417,7 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
 
         t = jnp.linspace(0.0, 1.0, S + 1)
         z_vals = near * (1.0 - t) + far * t
-        coarse = fused(w_coarse, o8, d8, z_vals, extras)
+        coarse = fused_coarse(w_coarse, o8, d8, z_vals, extras)
 
         z_vals_f = resample_z_from_weights(z_vals, coarse["weights"])
         fine = fused(w_fine, o8, d8, z_vals_f, extras)
