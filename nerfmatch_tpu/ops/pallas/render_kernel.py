@@ -58,6 +58,27 @@ def _fast_sin(x):
     return r * (c1 + r2 * (c3 + r2 * (c5 + r2 * (c7 + r2 * c9))))
 
 
+# Degree-4 minimax polynomial for 2^r on [-0.5, 0.5] (|rel err| < 9e-6 —
+# below the bf16 cast that follows).  The VPU builtin exp costs ~2.5 ms per
+# 9216x128-sample stage; exponent assembly by integer bitcast + 4 FMAs is
+# nearly free next to the matmuls.
+_EXP2_C = (0.9999992877392923, 0.6931227314278201, 0.24024740182319385,
+           0.05591115485298019, 0.009567840713994339)
+_LOG2E = float(np.log2(np.e))
+
+
+def _fast_exp(x):
+    """exp(x) for x <= 0 via exp2 split: 2^k * poly(r), k=round(x*log2e)."""
+    y = jnp.maximum(x * _LOG2E, -126.0)
+    k = jnp.round(y)
+    r = y - k
+    c0, c1, c2, c3, c4 = _EXP2_C
+    p = c0 + r * (c1 + r * (c2 + r * (c3 + r * c4)))
+    scale = jax.lax.bitcast_convert_type(
+        (k.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return scale * p
+
+
 @dataclass(frozen=True)
 class FusedRenderSpec:
     num_freqs: int = 15          # IPE frequencies (enc dim = 2*3*F = 90)
@@ -72,6 +93,10 @@ class FusedRenderSpec:
     ret_feat: bool = True        # emit composited feat/pts (fine stage only
                                  # consumes them; the coarse pass skips the
                                  # (R, S, hid) weighted reductions + outputs)
+    ret_rgb: bool = True         # emit rgb (skipping it drops the whole
+                                 # feature->views->rgb head chain — the eval
+                                 # coarse pass only feeds weights to the
+                                 # resampler, ~18% of its MACs)
 
 
 def _pad_axis(x, size, axis):
@@ -165,11 +190,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         n_in = 5 + len(weight_names)
         o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
         wrefs = dict(zip(weight_names, refs[5:n_in]))
-        if spec.ret_feat:
-            rgb_ref, depth_ref, acc_ref, w_out_ref, feat_ref, pts_ref = \
-                refs[n_in:]
-        else:
-            rgb_ref, depth_ref, acc_ref, w_out_ref = refs[n_in:]
+        out_refs = list(refs[n_in:])
+        rgb_ref = out_refs.pop(0) if spec.ret_rgb else None
+        depth_ref, acc_ref, w_out_ref = out_refs[:3]
+        feat_ref, pts_ref = out_refs[3:] if spec.ret_feat else (None, None)
 
         o8 = o_ref[...]                           # (R, 8): o | radius | 0...
         d8 = d_ref[...]                           # (R, 8): unit d | 0...
@@ -214,7 +238,7 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
         pre = oS_T + t_col * dS_T + wrefs["_phase"][...]   # (T, 128)
         vs = tv_col * dQ_T + rv_col * nQ_T
-        xb = (jnp.exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
+        xb = (_fast_exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
 
         def mm(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b,
@@ -231,20 +255,22 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 feat_tap = h
 
         # ---- heads (rank-2 dots only; (T,C)<->(R,S,C) reshapes are free) ----
-        feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]      # (T, hid)
         h_tap3 = h.reshape(R, S, hid)
         sigma_raw = jnp.sum(h_tap3 * wrefs["wa"][...][None, None, :],
                             axis=-1) + wrefs["ba"][0, 0]           # (R, S)
 
-        extras = extras_ref[...]                  # (R, E)
-        hv_t = mm(feature, wrefs["wvh"][...])     # (T, hid//2)
-        hv = jax.nn.relu(
-            hv_t.reshape(R, S, -1)
-            + jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
-                      preferred_element_type=jnp.float32)[:, None, :]
-            + wrefs["bv"][...])
-        rgb_t = mm(hv.reshape(T, -1), wrefs["wrgb"][...]) + wrefs["brgb"][...]
-        rgb = jax.nn.sigmoid(rgb_t).reshape(R, S, -1)  # cols 0:3 real
+        if spec.ret_rgb:
+            feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]  # (T, hid)
+            extras = extras_ref[...]              # (R, E)
+            hv_t = mm(feature, wrefs["wvh"][...])  # (T, hid//2)
+            hv = jax.nn.relu(
+                hv_t.reshape(R, S, -1)
+                + jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
+                          preferred_element_type=jnp.float32)[:, None, :]
+                + wrefs["bv"][...])
+            rgb_t = (mm(hv.reshape(T, -1), wrefs["wrgb"][...])
+                     + wrefs["brgb"][...])
+            rgb = jax.nn.sigmoid(rgb_t).reshape(R, S, -1)  # cols 0:3 real
 
         # ---- compositing ----
         dists = t1 - t0
@@ -256,13 +282,13 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                        preferred_element_type=jnp.float32)
         weights = alpha * jnp.exp(csum)           # (R, S)
 
-        rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)
         depth = jnp.sum(weights * z_mid, axis=-1, keepdims=True)
         acc = jnp.sum(weights, axis=-1, keepdims=True)
-        if spec.white_bg:
-            rgb_map = rgb_map + (1.0 - acc)
-
-        rgb_ref[...] = rgb_map                    # (R, 128); cols 0:3 real
+        if spec.ret_rgb:
+            rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)
+            if spec.white_bg:
+                rgb_map = rgb_map + (1.0 - acc)
+            rgb_ref[...] = rgb_map                # (R, 128); cols 0:3 real
         depth_ref[...] = depth
         acc_ref[...] = acc
         w_out_ref[...] = weights
@@ -313,14 +339,16 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [const_spec(weights_packed[k]) for k in weight_names]
-        out_specs = [
+        out_specs = ([
             pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] if spec.ret_rgb else []) + [
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
-        out_shape = [
+        out_shape = ([
             jax.ShapeDtypeStruct((N, 128), jnp.float32),
+        ] if spec.ret_rgb else []) + [
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, S), jnp.float32),
@@ -343,12 +371,15 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 vmem_limit_bytes=64 * 1024 * 1024),
         )(o8, d8, z_vals, tmvr, extras,
           *[weights_packed[k] for k in weight_names])
-        rgb_p, depth, acc, w = outs[:4]
-        out = dict(rgb=rgb_p[:, :3], depth=depth[:, 0], acc=acc[:, 0],
-                   weights=w)
+        outs = list(outs)
+        out = {}
+        if spec.ret_rgb:
+            out["rgb"] = outs.pop(0)[:, :3]
+        depth, acc, w = outs[:3]
+        out.update(depth=depth[:, 0], acc=acc[:, 0], weights=w)
         if spec.ret_feat:
-            out["feat"] = outs[4]
-            out["pts"] = outs[5][:, :3]
+            out["feat"] = outs[3]
+            out["pts"] = outs[4][:, :3]
         return out
 
     return fused
@@ -366,18 +397,23 @@ def prepare_ray_inputs(rays):
 
 
 def make_fused_hierarchical(renderer, interpret: bool = False,
-                            ray_tile: int = 16):
+                            ray_tile: int = 16, coarse_rgb: bool = False):
     """Fused two-stage (coarse->resample->fine) eval render.
 
     Mirrors ``NerfRenderer.render_rays(train=False, ret_pfeat=True,
     validation=True)``: both Gaussian-cast+MLP+composite stages run in the
-    fused kernel; only the inverse-CDF z resampling runs in XLA.
+    fused kernel; the inverse-CDF z resampling runs in a dedicated Pallas
+    lookup kernel (``resample_kernel.py``).
     Returns (render(w_coarse, w_fine, rays[, app_emb]) -> preds,
     pack(params)).  ``app_emb`` (N, 16) appearance embeddings ride in the
     per-ray extras alongside the viewdir PE (Cambridge path).
+
+    By default the coarse pass computes only what feeds the resampler
+    (weights/depth) and skips its rgb head chain; pass ``coarse_rgb=True``
+    to also get ``rgb_coarse`` (needed only for coarse PSNR panels).
     """
     from ...nerf.embedding import pe_embedding
-    from ...nerf.sampling import resample_z_from_weights
+    from .resample_kernel import resample_z_pallas
 
     cfg = renderer.cfg
     fine_cfg = renderer.fine_cfg
@@ -389,11 +425,12 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         feat_layer=fine_cfg.stop_layer if fine_cfg.stop_layer >= 0 else 3,
         white_bg=cfg.white_bg)
     fused = make_fused_render(spec, interpret=interpret)
-    # Coarse pass: only rgb/depth/weights are consumed downstream — skip the
-    # composited feat/pts reductions and outputs.
+    # Coarse pass: only depth/weights feed the fine stage — skip the
+    # composited feat/pts reductions and (by default) the rgb head chain.
     import dataclasses as _dc
-    fused_coarse = make_fused_render(_dc.replace(spec, ret_feat=False),
-                                     interpret=interpret)
+    fused_coarse = make_fused_render(
+        _dc.replace(spec, ret_feat=False, ret_rgb=coarse_rgb),
+        interpret=interpret)
 
     assert renderer.dirs_emb_dim + app_dim <= spec.extra_dim
 
@@ -419,14 +456,18 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         z_vals = near * (1.0 - t) + far * t
         coarse = fused_coarse(w_coarse, o8, d8, z_vals, extras)
 
-        z_vals_f = resample_z_from_weights(z_vals, coarse["weights"])
+        z_vals_f = resample_z_pallas(z_vals, coarse["weights"],
+                                     interpret=interpret)
         fine = fused(w_fine, o8, d8, z_vals_f, extras)
 
-        return {
-            "rgb_coarse": coarse["rgb"], "depth_coarse": coarse["depth"],
+        preds = {
+            "depth_coarse": coarse["depth"],
             "rgb_fine": fine["rgb"], "depth_fine": fine["depth"],
             "acc_fine": fine["acc"], "feat_fine": fine["feat"],
             "pts_fine": fine["pts"], "weights_fine": fine["weights"],
         }
+        if coarse_rgb:
+            preds["rgb_coarse"] = coarse["rgb"]
+        return preds
 
     return render, pack

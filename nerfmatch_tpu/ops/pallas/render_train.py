@@ -28,7 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .render_kernel import FusedRenderSpec, make_spread_matrices, _pad_axis, _fast_sin
+from .render_kernel import FusedRenderSpec, make_spread_matrices, _pad_axis, \
+    _fast_sin, _fast_exp
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 
@@ -119,10 +120,10 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
 
         pre = E_oS + t_col * E_dS + wr["_phase"]
         vs = tv_col * E_dQ + rv_col * E_nQ
-        # _fast_sin: bf16-accurate polynomial sine (see render_kernel.py) —
+        # _fast_sin/_fast_exp: bf16-accurate polynomials (render_kernel.py) —
         # safe here because the backward never differentiates the encode
-        # (weight grads only; xb is rematerialized with the same poly).
-        xb = (jnp.exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
+        # (weight grads only; xb is rematerialized with the same polys).
+        xb = (_fast_exp(-0.5 * vs) * _fast_sin(pre)).astype(jnp.bfloat16)
 
         def mm(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b,
@@ -409,9 +410,9 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
     ``NerfRenderer.render_rays(train=True)``.
     """
     from ...nerf.embedding import pe_embedding
-    from ...nerf.sampling import resample_z_from_weights
     from ...nerf.compositing import t_to_s
     from .render_kernel import prepare_ray_inputs
+    from .resample_kernel import resample_z_pallas
 
     cfg = renderer.cfg
     fine_cfg = renderer.fine_cfg
@@ -447,8 +448,9 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
         wc = pack_mlp_weights_traced(params[coarse_key], spec)
         rgb_c, weights_c = fused(wc, o8, d8, z, extras, noise_c)
 
-        z_f = resample_z_from_weights(
-            z, jax.lax.stop_gradient(weights_c), randomized=True, key=k_res)
+        z_f = resample_z_pallas(
+            z, jax.lax.stop_gradient(weights_c), randomized=True, key=k_res,
+            interpret=interpret)
         wf = pack_mlp_weights_traced(params["nerf_fine"], spec)
         rgb_f, weights_f = fused(wf, o8, d8, z_f, extras, noise_f)
 
