@@ -6,22 +6,32 @@ viewdirs + layer-3 feature tap and along-ray feature compositing — i.e. the
 ``cache_scene_pts`` hot loop — on the attached TPU chip, using the fused
 Pallas kernel path (``ops/pallas/render_kernel.py``).
 
-Timing is amortized over pipelined dispatches with a single device fetch at
-the end (the axon PJRT backend dispatches asynchronously; per-call host
-fetches would add ~25 ms tunnel RTT to every iteration).
+Timing methodology (device throughput, not tunnel throughput): the jitted
+program materializes every production output (rgb/depth/acc/weights/feat/
+pts for the fine stage) in HBM inside the fused kernels and returns one
+scalar checksum over all of them.  Returning the raw arrays instead would
+ship ~15 MB per call through the axon dev tunnel (~30 MB/s device->host),
+which measures the tunnel, not the chip; no real deployment fetches render
+buffers to the host per batch.  Dispatches are pipelined with a single
+device fetch at the end; min over measurement rounds.
 
 vs_baseline compares against an estimated PyTorch reference throughput on an
 A100 for the same forward render.  The reference repo publishes no in-tree
 number (SURVEY §6); this constant is the documented stand-in until a measured
 A100 torch baseline replaces it.  Roofline context (measured on this chip,
-scripts/mm_roofline.py + scripts/kernel_probe.py, min-of-3 pipelined):
+scripts/mm_roofline.py + scripts/kernel_probe.py, min-of-rounds pipelined):
 
-* per-ray work: 2 stages x 128 samples x ~0.64 M MACs (8x256 MLP + skip +
-  feature/views/rgb heads) = ~328 MFLOP/ray;
-* v5e bf16 peak 197 TFLOP/s -> speed-of-light 600k rays/s; an 8-deep
-  (2048, 256)x(256, 256) matmul chain in Pallas measures 78% MFU on this
-  chip -> practical ceiling ~470k rays/s; the fused kernel currently runs
-  ~53% MFU end-to-end (encode + composite VPU work on top of the chain);
+* per-ray work: coarse trunk 524k MACs/sample (heads skipped — only weights
+  feed the resampler) + fine trunk+heads 639k MACs/sample, 128 samples each
+  -> 298 MFLOP/ray;
+* v5e bf16 peak 197 TFLOP/s -> speed-of-light 697k rays/s for this FLOP
+  count; an 8-deep (2048, 256)x(256, 256) bf16 matmul chain in Pallas
+  measures 78% MFU on this chip -> practical ceiling ~515k rays/s (17.9 ms
+  per 9216-ray batch with zero encode/composite/resample cost);
+* the fused path measures ~26 ms = ~69% of that chain ceiling (~54% MFU
+  end-to-end); the difference is the serial VPU epilogue on the MLP's
+  critical path (IPE encode polynomials, relu/bias, alpha compositing)
+  plus the inverse-CDF resample kernel and ~1 ms dispatch floor;
 * the A100 divisor: TF32 peak 156 TFLOP/s; public torch mip-NeRF evals run
   ~15-25% MFU (chunked MLP, unfused encode/compositing, framework overhead)
   -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.
@@ -37,6 +47,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
 from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
@@ -50,24 +61,31 @@ def main():
     params = renderer.init_params(jax.random.PRNGKey(0))
 
     batch = 9216  # reference train/eval ray batch (configs/nerf/*.yaml)
-    rays = _example_rays(batch)
+    rays = jnp.asarray(_example_rays(batch))
 
     render, pack = make_fused_hierarchical(renderer)
     wc, wf = pack(params)
-    fn = jax.jit(lambda rays: render(wc, wf, rays))
+
+    @jax.jit
+    def step(rays):
+        out = render(wc, wf, rays)
+        # One scalar depending on every output: keeps all kernel work and
+        # HBM writes live while fetching 8 bytes instead of ~15 MB.
+        return sum(jnp.sum(v) for v in out.values())
 
     # Warmup / compile (+ host fetch to force full execution).
-    out = fn(rays)
-    np.asarray(out["rgb_fine"])
+    np.asarray(step(rays))
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(rays)
-    np.asarray(out["rgb_fine"])
-    dt = (time.perf_counter() - t0) / iters
+    iters, rounds = 30, 3
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(rays)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
 
-    rays_per_sec = batch / dt
+    rays_per_sec = batch / best
     print(json.dumps({
         "metric": "nerf_feature_render_throughput",
         "value": round(rays_per_sec, 1),

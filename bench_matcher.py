@@ -48,18 +48,24 @@ def main():
     @jax.jit
     def match(params, img, pt_feat, pt3d):
         out = model.forward_match(params, img, pt_feat, pt3d, mutual=True)
-        return out["j_ids"], out["mconf"], out["valid"], out["expec_f"]
+        # Scalar checksum over every match output: keeps all compute live
+        # while fetching 8 bytes — returning the arrays ships ~100 kB/call
+        # through the ~30 MB/s axon tunnel, which is transfer, not compute.
+        return (jnp.sum(out["j_ids"]) + jnp.sum(out["mconf"])
+                + jnp.sum(out["valid"]) + jnp.sum(out["expec_f"]))
 
     out = match(params, img, pt_feat, pt3d)
-    np.asarray(out[0])  # sync (axon async dispatch)
+    np.asarray(out)  # sync (axon async dispatch)
 
-    # Amortized pipelined timing; single fetch at the end.
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = match(params, img, pt_feat, pt3d)
-    np.asarray(out[0])
-    dt = (time.perf_counter() - t0) / iters
+    # Amortized pipelined timing; single fetch at the end; min of rounds.
+    iters, rounds = 20, 3
+    dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = match(params, img, pt_feat, pt3d)
+        np.asarray(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     pairs_per_sec = 1.0 / dt
     print(json.dumps({
@@ -101,15 +107,31 @@ def bench_train_step(model, params, bs: int = 2):
 
     args = (params, opt_state, img, pt_feat, pt3d, im_mask, pt_mask, conf_gt,
             pt2d, pt2d_proj, key, coarse_only)
-    out = stepper.step(*args)
-    np.asarray(out[2]["loss"])  # sync
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = stepper.step(*args)
-    np.asarray(out[2]["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    @jax.jit
+    def step_cs(*a):
+        new_params, new_os, metrics = stepper.step(*a)
+        # Reduce the updated params/opt-state to one scalar on device: the
+        # full pytree is tens of MB, and returning it would measure the
+        # ~30 MB/s tunnel instead of the chip.
+        leaves = jax.tree_util.tree_leaves((new_params, new_os))
+        acc = metrics["loss"]
+        for leaf in leaves:
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                acc = acc + jnp.mean(leaf).astype(jnp.float32)
+        return acc
+
+    out = step_cs(*args)
+    np.asarray(out)  # sync
+
+    iters, rounds = 10, 3
+    dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step_cs(*args)
+        np.asarray(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     pairs_per_sec = bs / dt
     # Reference trains 10k pairs/epoch on 8xA100 in wall-clock dominated by

@@ -97,6 +97,12 @@ class FusedRenderSpec:
                                  # feature->views->rgb head chain — the eval
                                  # coarse pass only feeds weights to the
                                  # resampler, ~18% of its MACs)
+    from_rays: bool = False      # take packed (N, 12) rays + z and derive
+                                 # o/d spreads, viewdir PE extras and the
+                                 # Gaussian moments IN-kernel (no XLA prep,
+                                 # no (N*S, 8) tmvr HBM staging)
+    dirs_freqs: int = 4          # viewdir PE freqs (from_rays mode)
+    app_dim: int = 0             # appearance-embedding dim (from_rays mode)
 
 
 def _pad_axis(x, size, axis):
@@ -160,13 +166,70 @@ def pack_mlp_weights(params, spec: FusedRenderSpec, extra_dim_real: int):
     return {k: jnp.asarray(v) for k, v in w.items()}
 
 
+def make_ray_matrices(spec: FusedRenderSpec):
+    """Constants for ``from_rays`` mode: selector/spread matrices mapping the
+    packed 12-dim ray rows [o(3) d(3) near far viewdir(3) radius] straight to
+    kernel operands, the viewdir-PE encode (matching ``pe_embedding``:
+    [sin 3Fd | cos 3Fd | d | app]), and the periodic one-hot masks that pull
+    per-sample z fenceposts out of the E-expanded (T, S+1) layout."""
+    F = spec.num_freqs
+    Fd = spec.dirs_freqs
+    S = spec.samples
+    T = spec.ray_tile * S
+    SpO = np.zeros((12, 128), np.float32)
+    SpV = np.zeros((12, 128), np.float32)
+    SqV = np.zeros((12, 128), np.float32)
+    for j in range(3 * F):
+        c, f = j % 3, j // 3
+        SpO[c, j] = SpO[c, j + 3 * F] = 2.0**f
+        SpV[8 + c, j] = SpV[8 + c, j + 3 * F] = 2.0**f
+        SqV[8 + c, j] = SqV[8 + c, j + 3 * F] = 4.0**f
+    sqrow = SqV.sum(axis=0, keepdims=True)    # == xyz @ Sq (E-invariant)
+    Pd = np.zeros((12, 128), np.float32)
+    phase_d = np.zeros((1, 128), np.float32)
+    trig = np.zeros((1, 128), np.float32)
+    SelRaw = np.zeros((12, 128), np.float32)
+    for j in range(3 * Fd):
+        c, f = j % 3, j // 3
+        Pd[8 + c, j] = Pd[8 + c, j + 3 * Fd] = 2.0**f
+        phase_d[0, j + 3 * Fd] = np.pi / 2
+        trig[0, j] = trig[0, j + 3 * Fd] = 1.0
+    for c in range(3):
+        SelRaw[8 + c, 2 * 3 * Fd + c] = 1.0
+    SelO8 = np.zeros((12, 8), np.float32)
+    SelV8 = np.zeros((12, 8), np.float32)
+    for c in range(3):
+        SelO8[c, c] = 1.0
+        SelV8[8 + c, c] = 1.0
+    M0 = np.zeros((T, S + 1), np.float32)
+    M1 = np.zeros((T, S + 1), np.float32)
+    for t in range(T):
+        M0[t, t % S] = 1.0
+        M1[t, t % S + 1] = 1.0
+    j = jnp.asarray
+    out = {"_SpO": j(SpO), "_SpV": j(SpV), "_SqV": j(SqV), "_sqrow": j(sqrow),
+           "_Pd": j(Pd), "_phd": j(phase_d), "_trg": j(trig),
+           "_SelRaw": j(SelRaw), "_SelO8": j(SelO8), "_SelV8": j(SelV8),
+           "_M0": j(M0), "_M1": j(M1)}
+    if spec.app_dim:
+        SelApp = np.zeros((spec.app_dim, 128), np.float32)
+        off = 2 * 3 * Fd + 3
+        for i in range(spec.app_dim):
+            SelApp[i, off + i] = 1.0
+        out["_SelApp"] = j(SelApp)
+    return out
+
+
 def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     """Build the fused render callable.
 
-    fused(weights, o8 (N, 8) [o(3) | radius | pad], d8 (N, 8) [unit d(3)],
-          z_vals (N, S+1), extras (N, extra_dim)) ->
-      dict(rgb (N, 3), depth (N,), acc (N,), weights (N, S),
-           feat (N, hid), pts (N, 3)).
+    Default mode:
+      fused(weights, o8 (N, 8) [o(3) | radius | pad], d8 (N, 8) [unit d(3)],
+            z_vals (N, S+1), extras (N, extra_dim))
+    ``from_rays`` mode (everything derived in-kernel; no XLA prep):
+      fused(weights, rays (N, 12), z_vals (N, S+1)[, app (N, app_dim)])
+    Both return dict(rgb (N, 3), depth (N,), acc (N,), weights (N, S),
+    feat (N, hid), pts (N, 3)) filtered by ret_rgb/ret_feat.
     """
     S = spec.samples
     R = spec.ray_tile
@@ -181,60 +244,84 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     # row vectors to T-major via matmul sidesteps Mosaic's unsupported
     # lane<->sublane relayouts ((R,S)[:, :, None]-style broadcasts).
     expand = (np.repeat(np.eye(R, dtype=np.float32), S, axis=0))
-    consts = {"_Sp": Sp, "_Sq": Sq, "_phase": phase, "_tri": tri_excl,
-              "_xyz": xyz_mask, "_E": jnp.asarray(expand)}
+    consts = {"_phase": phase, "_tri": tri_excl, "_E": jnp.asarray(expand)}
+    if spec.from_rays:
+        consts.update(make_ray_matrices(spec))
+        n_fixed = 2 + (1 if spec.app_dim else 0)
+    else:
+        consts.update({"_Sp": Sp, "_Sq": Sq, "_xyz": xyz_mask})
+        n_fixed = 5
 
     weight_names: list = []
 
     def kernel(*refs):
-        n_in = 5 + len(weight_names)
-        o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
-        wrefs = dict(zip(weight_names, refs[5:n_in]))
+        n_in = n_fixed + len(weight_names)
+        wrefs = dict(zip(weight_names, refs[n_fixed:n_in]))
         out_refs = list(refs[n_in:])
         rgb_ref = out_refs.pop(0) if spec.ret_rgb else None
         depth_ref, acc_ref, w_out_ref = out_refs[:3]
         feat_ref, pts_ref = out_refs[3:] if spec.ret_feat else (None, None)
 
-        o8 = o_ref[...]                           # (R, 8): o | radius | 0...
-        d8 = d_ref[...]                           # (R, 8): unit d | 0...
-        z = z_ref[...]                            # (R, S+1)
-        xyz = wrefs["_xyz"][...]
+        def rowmm(a, B):
+            return jnp.dot(a, B, preferred_element_type=jnp.float32)
 
-        # ---- conical-frustum Gaussian moments (stable form) ----
+        E = wrefs["_E"][...]                      # (T, R)
+        if spec.from_rays:
+            rays = refs[0][...]                   # (R, 12)
+            z = refs[1][...]                      # (R, S+1)
+            app = refs[2][...] if spec.app_dim else None
+        else:
+            o8 = refs[0][...]                     # (R, 8): o | radius | 0...
+            d8 = refs[1][...]                     # (R, 8): unit d | 0...
+            z = refs[2][...]                      # (R, S+1)
+            tm = refs[3][...]                     # (T, 8): t_mean|t_var|r_var
+
+        # ---- conical-frustum Gaussian moments at (R, S) (compositing) ----
         t0, t1 = z[:, :-1], z[:, 1:]
         mu = (t0 + t1) / 2.0
         hw = (t1 - t0) / 2.0
         denom = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
         t_mean = mu + (2.0 * mu * hw**2) / denom
-        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
-            hw**4 * (12.0 * mu**2 - hw**2)) / denom**2
-        radius = o8[:, 3:4]
-        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                             - (4.0 / 15.0) * hw**4 / denom)
 
         # ---- fused cast + IPE via linearity of the spread transform ----
-        def rowmm(a, B):
-            return jnp.dot(a, B, preferred_element_type=jnp.float32)
-
-        oS = rowmm(o8 * xyz, wrefs["_Sp"][...])   # (R, 128)
-        dS = rowmm(d8, wrefs["_Sp"][...])
-        d_sq = d8 * d8
-        null_sq = xyz - d_sq
-        dQ = rowmm(d_sq, wrefs["_Sq"][...])
-        nQ = rowmm(null_sq, wrefs["_Sq"][...])
-
-        # Expand per-ray rows to T-major (E @ rows) and take per-sample
-        # scalars from the T-major input (lane-1 -> lane-128 broadcasts are
-        # native; (R,S) lane->sublane moves are not).
-        E = wrefs["_E"][...]                      # (T, R)
-        oS_T = rowmm(E, oS)                       # (T, 128)
-        dS_T = rowmm(E, dS)
-        dQ_T = rowmm(E, dQ)
-        nQ_T = rowmm(E, nQ)
-        tm = tmvr_ref[...]                        # (T, 8): t_mean|t_var|r_var
-        t_col = tm[:, 0:1]
-        tv_col = tm[:, 1:2]
-        rv_col = tm[:, 2:3]
+        if spec.from_rays:
+            oS = rowmm(rays, wrefs["_SpO"][...])  # (R, 128)
+            dS = rowmm(rays, wrefs["_SpV"][...])
+            dQ = rowmm(rays * rays, wrefs["_SqV"][...])
+            r2 = rays[:, 11:12] ** 2              # (R, 1)
+            oS_T = rowmm(E, oS)                   # (T, 128)
+            dS_T = rowmm(E, dS)
+            dQ_T = rowmm(E, dQ)
+            nQ_T = wrefs["_sqrow"][...] - dQ_T    # E is one-hot: E@sqrow=sqrow
+            r2_T = rowmm(E, r2)                   # (T, 1)
+            # Per-sample moments in T-major: pull z fenceposts through the
+            # E expansion with periodic one-hot lane masks, then the (T, 1)
+            # column broadcasts over 128 lanes natively.
+            z_all = rowmm(E, z)                   # (T, S+1)
+            t0c = jnp.sum(z_all * wrefs["_M0"][...], axis=-1, keepdims=True)
+            t1c = jnp.sum(z_all * wrefs["_M1"][...], axis=-1, keepdims=True)
+            mu_c = (t0c + t1c) / 2.0
+            hw_c = (t1c - t0c) / 2.0
+            den_c = jnp.maximum(_F32_EPS, 3.0 * mu_c**2 + hw_c**2)
+            t_col = mu_c + (2.0 * mu_c * hw_c**2) / den_c
+            tv_col = hw_c**2 / 3.0 - (4.0 / 15.0) * (
+                hw_c**4 * (12.0 * mu_c**2 - hw_c**2)) / den_c**2
+            rv_col = r2_T * (mu_c**2 / 4.0 + (5.0 / 12.0) * hw_c**2
+                             - (4.0 / 15.0) * hw_c**4 / den_c)
+        else:
+            xyz = wrefs["_xyz"][...]
+            oS = rowmm(o8 * xyz, wrefs["_Sp"][...])   # (R, 128)
+            dS = rowmm(d8, wrefs["_Sp"][...])
+            d_sq = d8 * d8
+            dQ = rowmm(d_sq, wrefs["_Sq"][...])
+            nQ = rowmm(xyz - d_sq, wrefs["_Sq"][...])
+            oS_T = rowmm(E, oS)                   # (T, 128)
+            dS_T = rowmm(E, dS)
+            dQ_T = rowmm(E, dQ)
+            nQ_T = rowmm(E, nQ)
+            t_col = tm[:, 0:1]
+            tv_col = tm[:, 1:2]
+            rv_col = tm[:, 2:3]
 
         pre = oS_T + t_col * dS_T + wrefs["_phase"][...]   # (T, 128)
         vs = tv_col * dQ_T + rv_col * nQ_T
@@ -261,15 +348,27 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
         if spec.ret_rgb:
             feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]  # (T, hid)
-            extras = extras_ref[...]              # (R, E)
+            if spec.from_rays:
+                # viewdir PE extras built in-kernel: sin/cos slots via the
+                # Pd spread + phase, raw d / app via selector matmuls.
+                extras = (_fast_sin(rowmm(rays, wrefs["_Pd"][...])
+                                    + wrefs["_phd"][...]) * wrefs["_trg"][...]
+                          + rowmm(rays, wrefs["_SelRaw"][...]))
+                if spec.app_dim:
+                    extras = extras + rowmm(app, wrefs["_SelApp"][...])
+            else:
+                extras = refs[4][...]             # (R, E)
             hv_t = mm(feature, wrefs["wvh"][...])  # (T, hid//2)
             hv = jax.nn.relu(
                 hv_t.reshape(R, S, -1)
                 + jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
                           preferred_element_type=jnp.float32)[:, None, :]
                 + wrefs["bv"][...])
-            rgb_t = (mm(hv.reshape(T, -1), wrefs["wrgb"][...])
-                     + wrefs["brgb"][...])
+            # Slice to 8 lanes before sigmoid/composite: only cols 0:3 are
+            # real and the (T, 128) sigmoid + (R, S, 128) weighted sum would
+            # spend 94% of their VPU work on padding.
+            rgb_t = (mm(hv.reshape(T, -1), wrefs["wrgb"][...])[:, :8]
+                     + wrefs["brgb"][...][:8])
             rgb = jax.nn.sigmoid(rgb_t).reshape(R, S, -1)  # cols 0:3 real
 
         # ---- compositing ----
@@ -298,56 +397,82 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             # Composited points:
             # sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
             tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
-            pts_map = (o8 * acc + d8 * tw) * xyz  # (R, 8); cols 0:3 real
+            if spec.from_rays:
+                pts_map = (rowmm(rays, wrefs["_SelO8"][...]) * acc
+                           + rowmm(rays, wrefs["_SelV8"][...]) * tw)
+            else:
+                pts_map = (o8 * acc + d8 * tw) * xyz  # (R, 8); cols 0:3 real
             feat_ref[...] = feat_map
             pts_ref[...] = pts_map
 
-    def fused(weights_packed: dict, o8, d8, z_vals, extras):
+    def fused(weights_packed: dict, *data):
         weights_packed = {**weights_packed, **consts}
         weight_names.clear()
         weight_names.extend(sorted(weights_packed.keys()))
-        N = z_vals.shape[0]
-        assert N % R == 0, f"ray count {N} % tile {R} != 0"
-        grid = (N // R,)
-
-        # Per-sample Gaussian scalars in T-major layout (XLA side: cheap
-        # (N, S) math + one reshape).
-        t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
-        mu = (t0 + t1) / 2.0
-        hw = (t1 - t0) / 2.0
-        den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
-        t_mean = mu + (2.0 * mu * hw**2) / den
-        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
-            hw**4 * (12.0 * mu**2 - hw**2)) / den**2
-        radius = o8[:, 3:4]
-        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                             - (4.0 / 15.0) * hw**4 / den)
-        tmvr = jnp.stack(
-            [t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
-        tmvr = _pad_axis(tmvr, 8, 1)
 
         def const_spec(arr):
             nd = arr.ndim
             return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
                                 memory_space=pltpu.VMEM)
 
-        in_specs = [
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [const_spec(weights_packed[k]) for k in weight_names]
+        if spec.from_rays:
+            if spec.app_dim:
+                rays, z_vals, app = data
+            else:
+                rays, z_vals = data
+            N = z_vals.shape[0]
+            operands = [rays, z_vals] + ([app] if spec.app_dim else [])
+            in_specs = [
+                pl.BlockSpec((R, 12), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S + 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + ([pl.BlockSpec((R, spec.app_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 if spec.app_dim else [])
+        else:
+            o8, d8, z_vals, extras = data
+            N = z_vals.shape[0]
+            # Per-sample Gaussian scalars in T-major layout (XLA side: cheap
+            # (N, S) math + one reshape).
+            t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
+            mu = (t0 + t1) / 2.0
+            hw = (t1 - t0) / 2.0
+            den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
+            t_mean = mu + (2.0 * mu * hw**2) / den
+            t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
+                hw**4 * (12.0 * mu**2 - hw**2)) / den**2
+            radius = o8[:, 3:4]
+            r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                                 - (4.0 / 15.0) * hw**4 / den)
+            tmvr = jnp.stack(
+                [t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
+            tmvr = _pad_axis(tmvr, 8, 1)
+            operands = [o8, d8, z_vals, tmvr, extras]
+            in_specs = [
+                pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S + 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        assert N % R == 0, f"ray count {N} % tile {R} != 0"
+        grid = (N // R,)
+        in_specs += [const_spec(weights_packed[k]) for k in weight_names]
         out_specs = ([
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ] if spec.ret_rgb else []) + [
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         out_shape = ([
-            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N, 8), jnp.float32),
         ] if spec.ret_rgb else []) + [
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
@@ -369,8 +494,7 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             out_shape=out_shape, interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(o8, d8, z_vals, tmvr, extras,
-          *[weights_packed[k] for k in weight_names])
+        )(*operands, *[weights_packed[k] for k in weight_names])
         outs = list(outs)
         out = {}
         if spec.ret_rgb:
@@ -412,7 +536,6 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     (weights/depth) and skips its rgb head chain; pass ``coarse_rgb=True``
     to also get ``rgb_coarse`` (needed only for coarse PSNR panels).
     """
-    from ...nerf.embedding import pe_embedding
     from .resample_kernel import resample_z_pallas
 
     cfg = renderer.cfg
@@ -423,7 +546,8 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
         feat_layer=fine_cfg.stop_layer if fine_cfg.stop_layer >= 0 else 3,
-        white_bg=cfg.white_bg)
+        white_bg=cfg.white_bg, from_rays=True,
+        dirs_freqs=cfg.dirs_num_freqs, app_dim=app_dim)
     fused = make_fused_render(spec, interpret=interpret)
     # Coarse pass: only depth/weights feed the fine stage — skip the
     # composited feat/pts reductions and (by default) the rgb head chain.
@@ -446,19 +570,14 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
 
     def render(w_coarse, w_fine, rays, app_emb=None):
         near, far = rays[:, 6:7], rays[:, 7:8]
-        o8, d8 = prepare_ray_inputs(rays)
-        dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)
-        if app_emb is not None:
-            dirs_pe = jnp.concatenate([dirs_pe, app_emb], axis=-1)
-        extras = _pad_axis(dirs_pe, spec.extra_dim, 1)
-
         t = jnp.linspace(0.0, 1.0, S + 1)
         z_vals = near * (1.0 - t) + far * t
-        coarse = fused_coarse(w_coarse, o8, d8, z_vals, extras)
+        app = (app_emb,) if app_dim else ()
+        coarse = fused_coarse(w_coarse, rays, z_vals, *app)
 
         z_vals_f = resample_z_pallas(z_vals, coarse["weights"],
                                      interpret=interpret)
-        fine = fused(w_fine, o8, d8, z_vals_f, extras)
+        fine = fused(w_fine, rays, z_vals_f, *app)
 
         preds = {
             "depth_coarse": coarse["depth"],
