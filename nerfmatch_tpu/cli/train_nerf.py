@@ -16,6 +16,8 @@ def build_parser():
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--prefix", type=str, default=None)
+    parser.add_argument("--gpus", type=int, default=None,
+                        help="Cap the device-mesh size (reference --gpus).")
     parser.add_argument("--debug", action="store_true")
     return parser
 
@@ -32,6 +34,8 @@ def main(argv=None):
         config.exp.batch_size = args.batch_size
     if args.prefix is not None:
         config.exp.prefix = args.prefix
+    if args.gpus is not None:
+        config.exp.gpus = args.gpus
     if args.debug:
         config.exp.debug = True
         config.exp.prefix = "debug"

@@ -49,6 +49,8 @@ def build_parser():
     p.add_argument("--aug_self_pairs", type=int, default=10)
     p.add_argument("--train_pair_txt", type=str, default=None)
     p.add_argument("--prefix", type=str, default=None)
+    p.add_argument("--gpus", type=int, default=None,
+                   help="Cap the device-mesh size (reference --gpus).")
     p.add_argument("--scene_dir", type=str, default=None)
     p.add_argument("--scenes", type=str, nargs="*", default=None)
     p.add_argument("--resume_version", type=str, default=None)
@@ -85,6 +87,8 @@ def apply_update_conf(config, args):
         config.data.train_pair_txt = args.train_pair_txt
     if args.prefix:
         config.exp.prefix = args.prefix
+    if args.gpus is not None:
+        config.exp.gpus = args.gpus
     if args.scene_dir:
         config.data.scene_dir = args.scene_dir
     if args.scenes:

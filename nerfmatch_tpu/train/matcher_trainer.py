@@ -303,9 +303,11 @@ def _train_matcher(config, coarse: bool):
     debug = bool(getattr(exp, "debug", False))
     np.random.seed(exp.seed)
     # The data axis must divide the global batch; shrink it if needed.
+    # ``exp.gpus`` caps the mesh (the reference's --gpus knob).
     import math
     n_dev = len(jax.devices())
-    mesh = make_mesh(data=math.gcd(n_dev, int(exp.batch_size)))
+    gpus = int(getattr(exp, "gpus", 0) or 0) or n_dev
+    mesh = make_mesh(data=math.gcd(min(gpus, n_dev), int(exp.batch_size)))
     config.gpu_num = int(mesh.devices.size)
 
     # Batch-size-adaptive LR.

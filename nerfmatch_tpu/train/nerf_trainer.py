@@ -191,7 +191,11 @@ def train(config):
     val_loader = init_data_loader(config.data, 1, split="val", debug=debug)
     num_frames = int(np.max(train_set.seq_ind)) + 1
 
-    mesh = make_mesh()
+    # Mesh size: all devices by default; ``exp.gpus`` caps it (the
+    # reference's --gpus / torchrun nproc knob, nerf_trainer.py:355-362).
+    n_dev = len(jax.devices())
+    gpus = int(getattr(exp, "gpus", 0) or 0) or n_dev
+    mesh = make_mesh(data=min(gpus, n_dev))
     config.gpu_num = int(mesh.devices.size)
     trainer = NerfTrainer(config, num_frames=num_frames, mesh=mesh)
     params, opt_state = trainer.init_state(exp.seed)

@@ -15,9 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pathlib
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compile cache: the suite is compile-bound on a 1-CPU host
+# (trainer/evaluator graphs take ~10 min cold); warm re-runs finish in a
+# couple of minutes.  The cache key includes jax version + HLO, so stale
+# entries are simply misses.
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"

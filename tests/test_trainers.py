@@ -39,6 +39,9 @@ def nerf_train_config(scene, odir):
         "loss": {"ray_reg_weight": 0.01},
         "exp": {"seed": 1, "odir": str(odir), "prefix": "t", "num_workers": 0,
                 "max_epochs": 2, "check_epochs": 1, "batch_size": 512,
+                "gpus": 1,  # 1-device mesh: SPMD compile on the CPU test
+                            # host is the suite's wall-clock hog; the 8-way
+                            # DP path is covered by tests/test_parallel.py
                 "debug": True, "log_num_max": 1, "log_step": 5},
     })
 
@@ -120,6 +123,7 @@ def matcher_config(scene, odir, coarse=True):
                   "coarse_only_epochs": 1 if not coarse else 0},
         "exp": {"seed": 2, "odir": str(odir), "prefix": "t", "num_workers": 0,
                 "max_epochs": 1, "check_epochs": 1, "batch_size": 2,
+                "gpus": 1,  # see nerf_train_config
                 "debug": True},
     })
 
