@@ -34,7 +34,12 @@ scripts/mm_roofline.py + scripts/kernel_probe.py, min-of-rounds pipelined):
   plus the inverse-CDF resample kernel and ~1 ms dispatch floor;
 * the A100 divisor: TF32 peak 156 TFLOP/s; public torch mip-NeRF evals run
   ~15-25% MFU (chunked MLP, unfused encode/compositing, framework overhead)
-  -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.
+  -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.  Measured
+  same-chip anchor: this repo's UNFUSED whole-graph XLA path (the closest
+  stand-in for a framework-compiled reference) runs 194k rays/s on the
+  same v5e chip (checksum methodology) — torch eager on A100 sits below a
+  fully-fused XLA program, so the 100k divisor is, if anything, generous
+  to the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

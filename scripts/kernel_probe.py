@@ -419,8 +419,11 @@ def main(variants):
         batch = 36864 if v == "batch4x" else 9216
         tile = 32 if v == "bigtile" else 16
         kv = "base" if v in ("bigtile", "batch4x") else v
-        fn = jax.jit(make_pipe(ray_tile=tile) if kv == "pipe"
-                     else make_stage(kv, ray_tile=tile))
+        raw = (make_pipe(ray_tile=tile) if kv == "pipe"
+               else make_stage(kv, ray_tile=tile))
+        # Checksum fetch: returning the (N,128)+(N,S) outputs ships ~9 MB
+        # per call through the ~30 MB/s tunnel and dominates the timing.
+        fn = jax.jit(lambda *a: sum(jnp.sum(o) for o in raw(*a)))
         dt = timeit(fn, inputs(batch))
         rps = batch / dt
         print(f"{v:>9}: {dt*1e3:8.2f} ms  {rps:10.0f} rays/s(1stage)",

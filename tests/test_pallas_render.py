@@ -147,17 +147,18 @@ def test_fused_hierarchical_matches_renderer():
     params = renderer.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(3)
-    o = rng.uniform(-0.2, 0.2, (16, 3))
-    d = rng.normal(size=(16, 3))
+    o = rng.uniform(-0.2, 0.2, (8, 3))
+    d = rng.normal(size=(8, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rays = np.concatenate(
-        [o, d, np.full((16, 1), 0.05), np.full((16, 1), 1.4), d,
-         np.full((16, 1), 0.002)], -1).astype(np.float32)
+        [o, d, np.full((8, 1), 0.05), np.full((8, 1), 1.4), d,
+         np.full((8, 1), 0.002)], -1).astype(np.float32)
 
     ref = renderer.render_rays(params, jnp.asarray(rays), train=False,
                                ret_pfeat=True, validation=True)
 
-    render, pack = make_fused_hierarchical(renderer, interpret=True)
+    render, pack = make_fused_hierarchical(renderer, interpret=True,
+                                           ray_tile=8)
     wc, wf = pack(params)
     out = render(wc, wf, jnp.asarray(rays))
 
@@ -195,18 +196,19 @@ def test_fused_hierarchical_with_appearance():
     params = renderer.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(4)
-    o = rng.uniform(-0.2, 0.2, (16, 3))
-    d = rng.normal(size=(16, 3))
+    o = rng.uniform(-0.2, 0.2, (8, 3))
+    d = rng.normal(size=(8, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rays = jnp.asarray(np.concatenate(
-        [o, d, np.full((16, 1), 0.05), np.full((16, 1), 1.4), d,
-         np.full((16, 1), 0.002)], -1), jnp.float32)
-    ray_id = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+        [o, d, np.full((8, 1), 0.05), np.full((8, 1), 1.4), d,
+         np.full((8, 1), 0.002)], -1), jnp.float32)
+    ray_id = jnp.asarray(rng.integers(0, 5, 8), jnp.int32)
 
     ref = renderer.render_rays(params, rays, ray_id=ray_id, train=False,
                                ret_pfeat=True, validation=True)
 
-    render, pack = make_fused_hierarchical(renderer, interpret=True)
+    render, pack = make_fused_hierarchical(renderer, interpret=True,
+                                           ray_tile=8)
     wc, wf = pack(params)
     app = params["embedding_a"]["weight"][ray_id]
     out = render(wc, wf, rays, app)

@@ -19,7 +19,7 @@ from nerfmatch_tpu.ops.pallas.render_train import (
 F = 15
 HID = 256
 S = 128
-N_RAYS = 16
+N_RAYS = 8  # one ray tile; interpret cost scales with N_RAYS*S
 DIRS_DIM = 2 * 3 * 4 + 3
 
 

@@ -107,8 +107,9 @@ def test_sharded_point_match_equals_dense():
     pt_mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2, jnp.float32)
     temp = jnp.asarray(10.0)
 
-    for mutual, thr, ttype in [(True, 0.0, "mul"), (False, 1e-4, "mul"),
-                               (True, 0.0, "div")]:
+    # Two variants span both axes (mutual on/off, temp mul/div, threshold
+    # on/off) — each extra variant re-traces the shard_map program (~6 s).
+    for mutual, thr, ttype in [(True, 0.0, "mul"), (False, 1e-4, "div")]:
         conf, _, _ = dual_softmax(im, pt, temp, im_mask, pt_mask,
                                   temp_type=ttype)
         ref = extract_mutual_matches(conf, mutual=mutual, threshold=thr)
