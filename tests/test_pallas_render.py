@@ -250,3 +250,43 @@ def test_fast_exp_accuracy():
     ref = np.asarray(jnp.exp(x))
     rel = np.abs(got - ref) / np.maximum(ref, 1e-37)
     assert rel.max() < 1e-4, rel.max()
+
+
+def test_from_rays_mode_matches_classic_inputs():
+    """from_rays (in-kernel prep + moments) == the o8/d8/extras/tmvr mode."""
+    spec_old = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                               samples=S, ray_tile=8, feat_layer=3)
+    import dataclasses
+    spec_new = dataclasses.replace(spec_old, from_rays=True, dirs_freqs=4)
+
+    cfg = NerfConfig(layer_num=8, hid_dim=HID, xyz_dim=2 * 3 * F,
+                     dirs_dim=DIRS_DIM, use_viewdirs=True, skips=(4,),
+                     stop_layer=3)
+    params = init_nerf_params(jax.random.PRNGKey(2), cfg)
+    w = pack_mlp_weights(params, spec_old, extra_dim_real=DIRS_DIM)
+
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-0.2, 0.2, (8, 3)).astype(np.float32)
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((8, 1), 0.05, np.float32)
+    far = np.full((8, 1), 1.4, np.float32)
+    radii = np.full((8, 1), 0.002, np.float32)
+    rays = jnp.asarray(np.concatenate([o, d, near, far, d, radii], -1))
+    t = jnp.linspace(0.0, 1.0, S + 1)
+    z = jnp.asarray(near) * (1.0 - t) + jnp.asarray(far) * t
+
+    o8 = jnp.asarray(np.concatenate([o, radii, np.zeros((8, 4), np.float32)], -1))
+    d8 = jnp.pad(jnp.asarray(d), ((0, 0), (0, 5)))
+    extras = jnp.pad(pe_embedding(jnp.asarray(d), 4),
+                     ((0, 0), (0, 128 - DIRS_DIM)))
+
+    old = make_fused_render(spec_old, interpret=True)(w, o8, d8, z, extras)
+    new = make_fused_render(spec_new, interpret=True)(w, rays, z)
+
+    for k in ("rgb", "depth", "acc", "weights", "feat", "pts"):
+        a, b = np.asarray(old[k]), np.asarray(new[k])
+        scale = np.abs(a).max() + 1e-9
+        # extras use the polynomial sine in from_rays mode vs jnp.sin in
+        # the XLA-prepped path -> bf16-level differences only.
+        assert np.abs(a - b).max() / scale < 2e-3, (k, np.abs(a - b).max())
