@@ -45,17 +45,14 @@ def main():
     pt_feat = jnp.asarray(rng.normal(size=(1, N, 256)), jnp.float32)
     pt3d = jnp.asarray(rng.normal(size=(1, N, 3)) * 0.3, jnp.float32)
 
-    @jax.jit
     def match(params, img, pt_feat, pt3d):
-        out = model.forward_match(params, img, pt_feat, pt3d, mutual=True)
-        # Scalar checksum over every match output: keeps all compute live
-        # while fetching 8 bytes — returning the arrays ships ~100 kB/call
-        # through the ~30 MB/s axon tunnel, which is transfer, not compute.
-        return (jnp.sum(out["j_ids"]) + jnp.sum(out["mconf"])
-                + jnp.sum(out["valid"]) + jnp.sum(out["expec_f"]))
+        # The production eval entry: two jitted programs (convs | fused-
+        # attention matching) — see NeRFMatcherCoarse.eval_match.  Its
+        # outputs are the ~100 kB match lists only (no dense conf matrix).
+        return model.eval_match(params, img, pt_feat, pt3d, mutual=True)
 
     out = match(params, img, pt_feat, pt3d)
-    np.asarray(out)  # sync (axon async dispatch)
+    np.asarray(out["j_ids"])  # sync (axon async dispatch)
 
     # Amortized pipelined timing; single fetch at the end; min of rounds.
     iters, rounds = 20, 3
@@ -64,7 +61,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             out = match(params, img, pt_feat, pt3d)
-        np.asarray(out)
+        np.asarray(out["j_ids"])
         dt = min(dt, (time.perf_counter() - t0) / iters)
 
     pairs_per_sec = 1.0 / dt

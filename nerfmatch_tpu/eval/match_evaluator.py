@@ -156,7 +156,7 @@ class NeRFMatchEvaluator:
             # Multi-pair: one device program (image features shared, pairs
             # mapped with lax.map), stacked dense matches (K, B, M).
             K_pairs = pt3d.shape[1]
-            outs = self.model.forward_multi_pair(
+            outs = self.model.eval_match(
                 self.params, img, pt_feat, jnp.asarray(pt3d),
                 im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
                 match_thres=match_thres)
@@ -181,7 +181,7 @@ class NeRFMatchEvaluator:
             self.timer["match_time"].append((time.perf_counter() - t0) / K_pairs)
             return np.concatenate(all2d), np.concatenate(all3d)
 
-        out = self.model.forward_match(
+        out = self.model.eval_match(
             self.params, img, pt_feat, jnp.asarray(pt3d), im_mask=im_mask,
             pt_mask=pt_mask, mutual=mutual, match_thres=match_thres)
         lists = dense_to_match_lists(

@@ -5,12 +5,19 @@ Capability match for the reference's ``nerfmatch/modules/attention.py``
 :84-133, FeedForwardNetwork :136-154, GenericEncoderLayer :157-252,
 Self/SelfCross blocks :255-331) as pure functions over param pytrees.
 
-The attention einsums run in one fused ``jax.nn.dot_product_attention``-style
-contraction that XLA maps onto the MXU; sequence lengths here are <= ~4k
-tokens so full (non-flash) attention is the right choice on TPU.
+Inside ``fused_attention_scope`` on TPU the attention core runs as a fused
+Pallas kernel that keeps the whole K/V block in VMEM per (batch, head) — at
+the matcher's ~3600-token lengths XLA's einsum materializes ~414 MB of
+(H, L, S) logits in HBM per layer, and flash-style long-sequence blocking
+is tuned for head_dim 128 (measured slower here).  Outside the scope (all
+training programs, which contain convolutions — see the scope docstring —
+and the CPU test mesh) the head-first einsum path is used.  See
+``ops/pallas/attention_kernel.py``.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +29,41 @@ from .layers import ACTIVATIONS, init_layernorm, init_linear, layer_norm, linear
 # Attention cores
 # ---------------------------------------------------------------------------
 
+_FUSED_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def fused_attention_scope(enabled: bool = True):
+    """Trace-time opt-in for the fused Pallas attention core.
+
+    Opt-in (rather than always-on) because XLA compiles convolutions that
+    transitively FEED a Pallas custom call ~4-5x slower (measured: each
+    ConvFormer block gains ~4 ms when any downstream op is a pallas_call) —
+    so the fused kernel is only enabled for programs without convolutions,
+    e.g. the post-backbone half of the split eval forward
+    (``NeRFMatcherCoarse.eval_match``)."""
+    _FUSED_SCOPE.append(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_SCOPE.pop()
+
+
+def _attend(qs, k, v):
+    """Pre-scaled softmax attention core; inside ``fused_attention_scope``
+    on TPU it runs the fused Pallas kernel (no HBM logits — see
+    ``ops/pallas/attention_kernel.py``); otherwise the head-first XLA
+    einsum."""
+    from ..ops.pallas.attention_kernel import (
+        fused_attention, fused_attention_available)
+
+    if _FUSED_SCOPE[-1] and fused_attention_available(qs, k):
+        return fused_attention(qs, k, v)
+    logits = jnp.einsum("blhd,bshd->bhls", qs, k)
+    z = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhls,bshd->blhd", z, v)
+
+
 def full_attention(q, k, v, temperature=None):
     """Vanilla softmax attention; q,k,v: (B, L|S, H, D).
 
@@ -30,9 +72,7 @@ def full_attention(q, k, v, temperature=None):
     reduction on a middle axis and cost ~4x in practice.
     """
     scale = (1.0 / jnp.sqrt(q.shape[-1])) if temperature is None else temperature
-    logits = jnp.einsum("blhd,bshd->bhls", q * scale, k)
-    z = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhls,bshd->blhd", z, v)
+    return _attend(q * scale, k, v)
 
 
 def lsa_attention(q, k, v, log_scale):
@@ -44,9 +84,7 @@ def lsa_attention(q, k, v, log_scale):
     UNMASKED logits, so its trained behavior — and therefore ours — is
     plain temperature-scaled attention with no diagonal mask.
     """
-    logits = jnp.einsum("blhd,bshd->bhls", q, k) * jnp.exp(log_scale)
-    z = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhls,bshd->blhd", z, v)
+    return _attend(q * jnp.exp(log_scale), k, v)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops.dsnt import heatmap_expectation_with_std
@@ -114,14 +115,18 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         return params
 
     # ------------------------------------------------------------------
-    def extract_im_feat_ms(self, params, img_nhwc):
-        """-> (coarse tokens (B, M, cdim), fine map (B, Hf, Wf, fdim))."""
-        cfg = self.cfg
+    def im_backbone(self, params, img_nhwc):
+        """Convolutional trunk only -> (coarse 1/8 map, fine 1/2 map); see
+        ``NeRFMatcherCoarse.im_backbone`` for why it is separable."""
         fmap_c, fmap_f = backbone_8_2_apply(
             self._maybe_bf16(params["backbone"]), self.backbone_cfg,
             self._maybe_bf16(img_nhwc))
-        fmap_c = fmap_c.astype(jnp.float32)
-        fmap_f = fmap_f.astype(jnp.float32)
+        return fmap_c.astype(jnp.float32), fmap_f.astype(jnp.float32)
+
+    def im_feat_from_fmap(self, params, fmaps):
+        """Post-backbone image branch: proj -> sine PE -> self-attention."""
+        cfg = self.cfg
+        fmap_c, fmap_f = fmaps
         b, h, w, _ = fmap_c.shape
         cfeat = fmap_c.reshape(b, h * w, -1)
         if "cfeat_proj" in params:
@@ -135,6 +140,10 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             sa = params["pt_sa"] if cfg.im_sa_type == "share" else params["im_sa"]
             cfeat = self_attention_block_apply(sa, cfeat, head_num=8)
         return cfeat, fmap_f
+
+    def extract_im_feat_ms(self, params, img_nhwc):
+        """-> (coarse tokens (B, M, cdim), fine map (B, Hf, Wf, fdim))."""
+        return self.im_feat_from_fmap(params, self.im_backbone(params, img_nhwc))
 
     # ------------------------------------------------------------------
     def gather_fine_windows(self, params, fmap_f, im_cfeat, b_ids, i_ids,
@@ -211,7 +220,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
     def forward_match(self, params, img, pt_feat, pt3d, im_mask=None,
                       pt_mask=None, mutual: bool = False,
                       match_thres: float = 0.0, key=None,
-                      match_list=None, ret_feats: bool = False):
+                      match_list=None, ret_feats: bool = False, fmap=None):
         """Full c2f forward.
 
         ``match_list``: optional precomputed fixed-length (b_ids, i_ids,
@@ -222,7 +231,9 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         Returns dict(conf_matrix, j_ids, mconf, valid, expec_f, fine list ids).
         """
         cfg = self.cfg
-        im_cfeat, fmap_f = self.extract_im_feat_ms(params, img)
+        im_cfeat, fmap_f = (self.im_feat_from_fmap(params, fmap)
+                            if fmap is not None
+                            else self.extract_im_feat_ms(params, img))
         pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
         im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
         conf, im_n, pt_n = dual_softmax(
@@ -231,7 +242,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         matches = extract_mutual_matches(conf, mutual=mutual, threshold=match_thres)
 
         B, M = matches["j_ids"].shape
-        coarse_w = int(jnp.sqrt(M)) if img is None else img.shape[2] // 8
+        coarse_w = int(np.sqrt(M)) if img is None else img.shape[2] // 8
 
         if match_list is None:
             b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
@@ -254,7 +265,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
                            pt_mask=None, mutual: bool = False,
-                           match_thres: float = 0.0):
+                           match_thres: float = 0.0, fmap=None):
         """Top-k retrieval pairs, device-resident (replaces the reference's
         per-pair host loop, ``nerfmatch_evaluator.py:150-230``): the two-scale
         image features are extracted ONCE, then the per-pair point path +
@@ -262,8 +273,11 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         pair axis (bounded memory).  pt tensors carry (B, K, N, .); returns
         stacked dense matches (K, B, M) + ``expec_f`` (K, B*M, 3)."""
         cfg = self.cfg
-        im_cfeat0, fmap_f = self.extract_im_feat_ms(params, img)
-        coarse_w = img.shape[2] // 8
+        im_cfeat0, fmap_f = (self.im_feat_from_fmap(params, fmap)
+                             if fmap is not None
+                             else self.extract_im_feat_ms(params, img))
+        coarse_w = (img.shape[2] // 8 if img is not None
+                    else int(np.sqrt(im_cfeat0.shape[1])))
         B, M = im_cfeat0.shape[0], im_cfeat0.shape[1]
         b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
         i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)

@@ -147,12 +147,18 @@ class NeRFMatcherCoarse:
             lambda x: x.astype(_jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == _jnp.float32 else x, tree)
 
-    def extract_im_feat(self, params, img_nhwc):
-        """(B, H, W, 3) -> (B, (H/8)*(W/8), cfeat_dim) image tokens."""
-        cfg = self.cfg
+    def im_backbone(self, params, img_nhwc):
+        """Convolutional trunk only: (B, H, W, 3) -> 1/8 feature map.
+
+        Kept separable from :meth:`im_feat_from_fmap` so the eval path can
+        run the convolutions in their own program (see ``eval_match``)."""
         fmap = backbone_apply(self._maybe_bf16(params["backbone"]),
                               self.backbone_cfg, self._maybe_bf16(img_nhwc))
-        fmap = fmap.astype(jnp.float32)
+        return fmap.astype(jnp.float32)
+
+    def im_feat_from_fmap(self, params, fmap):
+        """Post-backbone image branch: proj -> sine PE -> self-attention."""
+        cfg = self.cfg
         b, h, w, c = fmap.shape
         feat = fmap.reshape(b, h * w, c)
         if "cfeat_proj" in params:
@@ -163,6 +169,10 @@ class NeRFMatcherCoarse:
             sa = params["pt_sa"] if cfg.im_sa_type == "share" else params["im_sa"]
             feat = self_attention_block_apply(sa, feat, head_num=8)
         return feat
+
+    def extract_im_feat(self, params, img_nhwc):
+        """(B, H, W, 3) -> (B, (H/8)*(W/8), cfeat_dim) image tokens."""
+        return self.im_feat_from_fmap(params, self.im_backbone(params, img_nhwc))
 
     def _cat_pe(self, params, pt_feat, pt_feat_in, pt3d):
         pe = pt_feat_in if self.cfg.pt_pe_type == "id" \
@@ -212,13 +222,16 @@ class NeRFMatcherCoarse:
     def forward_match(self, params, img, pt_feat, pt3d, im_mask=None,
                       pt_mask=None, mutual: bool = False,
                       match_thres: float = 0.0, key=None,
-                      ret_feats: bool = False):
+                      ret_feats: bool = False, fmap=None):
         """Single-pair batch forward -> dense match dict.
 
-        Returns dict(conf_matrix (B,M,N), j_ids (B,M), mconf (B,M),
-        valid (B,M)[, im_cfeat, pt_cfeat]).
+        ``fmap``: optional precomputed backbone feature map (from
+        :meth:`im_backbone`) so the caller can keep the convolutions in a
+        separate program.  Returns dict(conf_matrix (B,M,N), j_ids (B,M),
+        mconf (B,M), valid (B,M)[, im_cfeat, pt_cfeat]).
         """
-        im_cfeat = self.extract_im_feat(params, img)
+        im_cfeat = (self.im_feat_from_fmap(params, fmap) if fmap is not None
+                    else self.extract_im_feat(params, img))
         pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
         im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
         conf, im_n, pt_n = dual_softmax(
@@ -233,7 +246,7 @@ class NeRFMatcherCoarse:
 
     def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
                            pt_mask=None, mutual: bool = False,
-                           match_thres: float = 0.0):
+                           match_thres: float = 0.0, fmap=None):
         """Top-k retrieval pairs: pt tensors carry an extra pair axis
         (B, K, N, .); matching runs once per pair against the same image via
         lax.map over K (bounded memory), returning stacked dense matches
@@ -241,7 +254,8 @@ class NeRFMatcherCoarse:
         def one_pair(args):
             ipt_feat, ipt3d, ipt_mask = args
             m = self.forward_match(params, img, ipt_feat, ipt3d, im_mask,
-                                   ipt_mask, mutual=mutual, match_thres=match_thres)
+                                   ipt_mask, mutual=mutual,
+                                   match_thres=match_thres, fmap=fmap)
             return {"j_ids": m["j_ids"], "mconf": m["mconf"], "valid": m["valid"]}
 
         pt_feat_k = jnp.swapaxes(pt_feat, 0, 1)
@@ -249,3 +263,48 @@ class NeRFMatcherCoarse:
         pt_mask_k = (jnp.swapaxes(pt_mask, 0, 1) if pt_mask is not None
                      else jnp.ones(pt_feat_k.shape[:3], jnp.float32))
         return jax.lax.map(one_pair, (pt_feat_k, pt3d_k, pt_mask_k))
+
+    # ------------------------------------------------------------------
+    # Jitted split-program eval entries
+    # ------------------------------------------------------------------
+
+    def _eval_jit(self, kind: str, mutual: bool, match_thres: float):
+        """Cached jits for the two-program eval forward: the conv trunk in
+        one program, everything after it in another traced inside
+        ``fused_attention_scope`` (Pallas attention; no convolutions in the
+        same program — see the scope docstring for why that matters)."""
+        from .attention import fused_attention_scope
+
+        cache = self.__dict__.setdefault("_eval_jit_cache", {})
+        key = ((kind,) if kind == "backbone"
+               else (kind, mutual, float(match_thres)))
+        if key not in cache:
+            if kind == "backbone":
+                cache[key] = jax.jit(self.im_backbone)
+            else:
+                fwd = (self.forward_multi_pair if kind == "multi"
+                       else self.forward_match)
+                keep = ("j_ids", "mconf", "valid", "expec_f")
+
+                def tail(params, fmap, pt_feat, pt3d, im_mask, pt_mask):
+                    with fused_attention_scope(True):
+                        out = fwd(params, None, pt_feat, pt3d, im_mask,
+                                  pt_mask, mutual=mutual,
+                                  match_thres=match_thres, fmap=fmap)
+                    # Only what inference consumes: returning the dense
+                    # (B, M, N) conf matrix would move ~50 MB per query.
+                    return {k: out[k] for k in keep if k in out}
+
+                cache[key] = jax.jit(tail)
+        return cache[key]
+
+    def eval_match(self, params, img, pt_feat, pt3d, im_mask=None,
+                   pt_mask=None, mutual: bool = False,
+                   match_thres: float = 0.0):
+        """Inference forward (same outputs as :meth:`forward_match`), split
+        into two jitted programs; multi-pair inputs (pt3d (B, K, N, 3))
+        route through :meth:`forward_multi_pair`."""
+        fmap = self._eval_jit("backbone", mutual, match_thres)(params, img)
+        kind = "multi" if pt3d.ndim == 4 else "single"
+        return self._eval_jit(kind, mutual, match_thres)(
+            params, fmap, pt_feat, pt3d, im_mask, pt_mask)

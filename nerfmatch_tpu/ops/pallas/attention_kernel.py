@@ -1,0 +1,131 @@
+"""Fused multi-head attention for the matcher's token lengths.
+
+The matcher runs full (non-causal, unmasked) attention over ~3600 image
+tokens x ~3600 NeRF points (reference ``modules/attention.py:44-57`` inside
+``nerfmatch_coarse_trainer.py:169-234``).  XLA materializes the (H, L, S)
+logits and softmax in HBM — ~414 MB per layer at production shapes, making
+each of the matcher's ~8 attention layers HBM-bound (~1.3 ms).  At these
+sizes the whole K/V block for one (batch, head) fits VMEM, so this kernel
+computes scores -> softmax -> output per L-block without any HBM logits
+(~0.4 ms/layer).  jax's stock TPU flash-attention op measures *slower* here
+(3.8 ms vs 2.3 ms XLA): it is tuned for head_dim 128 / long-sequence
+blocking, while the matcher uses head_dim 32 with S that fits VMEM whole.
+
+Interface: ``fused_attention(qs, k, v)`` with qs PRE-SCALED by the caller
+(temperature/sqrt-d outside the custom_vjp, so LSA's learned-temperature
+gradient flows through plain autodiff).  Layout (B, N, H, D) matching
+``models/attention.py``.  The backward is the explicit softmax-attention
+gradient in XLA (materializes (L, S) twice — same cost class as the
+autodiff of the unfused path, with no stashed forward logits).
+
+Used automatically by ``models/attention.py`` on TPU backends when the
+padded KV length fits the VMEM budget; CPU tests keep the einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+# scores block (BL, Sp) f32 + K/V (Sp, D) must fit comfortably in VMEM.
+MAX_KV = 8192
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    q = q_ref[0]                                  # (BL, D)
+    k = k_ref[0]                                  # (Sp, D)
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (BL, Sp)
+    scores = scores + mask_ref[...]               # -inf on KV padding
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(e, v, preferred_element_type=jnp.float32) / s
+
+
+@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
+def _fused_fwd(qs, k, v, block_l: int = 512, interpret: bool = False):
+    """qs (B, L, H, D) pre-scaled; k/v (B, S, H, D) -> (B, L, H, D)."""
+    B, L, H, D = qs.shape
+    S = k.shape[1]
+    lp = -(-L // block_l) * block_l
+    sp = -(-S // 128) * 128
+
+    def heads(t, n, npad):
+        t = jnp.swapaxes(t, 1, 2).reshape(B * H, n, D)
+        return jnp.pad(t, ((0, 0), (0, npad - n), (0, 0)))
+
+    qh = heads(qs, L, lp)
+    kh = heads(k, S, sp)
+    vh = heads(v, S, sp)
+    mask = jnp.full((1, sp), _NEG, jnp.float32).at[:, :S].set(0.0)
+
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid=(B * H, lp // block_l),
+        in_specs=[
+            pl.BlockSpec((1, block_l, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, lp, D), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(qh, kh, vh, mask)
+    out = out[:, :L].reshape(B, H, L, D)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _attn_bwd_xla(qs, k, v, g):
+    """Explicit softmax-attention gradient (recompute; no stashed logits)."""
+    logits = jnp.einsum("blhd,bshd->bhls", qs, k)
+    z = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhls,blhd->bshd", z, g)
+    dz = jnp.einsum("blhd,bshd->bhls", g, v)
+    tmp = dz - jnp.sum(dz * z, axis=-1, keepdims=True)
+    dl = z * tmp
+    dqs = jnp.einsum("bhls,bshd->blhd", dl, k)
+    dk = jnp.einsum("bhls,blhd->bshd", dl, qs)
+    return dqs, dk, dv
+
+
+@jax.custom_vjp
+def fused_attention(qs, k, v):
+    return _fused_fwd(qs, k, v)
+
+
+def _fwd(qs, k, v):
+    return _fused_fwd(qs, k, v), (qs, k, v)
+
+
+def _bwd(res, g):
+    return _attn_bwd_xla(*res, g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def fused_attention_available(q, k) -> bool:
+    """Gate: TPU-like backend, KV fits the in-VMEM budget, real workload."""
+    if jax.default_backend() in ("cpu",):
+        return False
+    s = k.shape[1]
+    sp = -(-s // 128) * 128
+    return (sp <= MAX_KV and q.shape[1] * s >= 256 * 256
+            and q.shape[-1] <= 128)
