@@ -159,15 +159,13 @@ class NeRFMatchEvaluator:
             outs = self.model.eval_match(
                 self.params, img, pt_feat, jnp.asarray(pt3d),
                 im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
-                match_thres=match_thres)
+                match_thres=match_thres, top_k=self.max_matches)
             outs = jax.device_get(outs)
             use_fine = "expec_f" in outs
             all2d, all3d = [], []
             for k in range(K_pairs):
-                lists = dense_to_match_lists(
-                    {kk: jnp.asarray(outs[kk][k]) for kk in
-                     ("j_ids", "mconf", "valid")}, self.max_matches)
-                lists = jax.device_get(lists)
+                lists = {kk: outs["lists"][kk][k] for kk in
+                         ("i_ids", "j_ids", "mconf", "valid")}
                 valid = lists["valid"][0]
                 i_ids = lists["i_ids"][0][valid]
                 mpt2d = pt2d[i_ids]
@@ -183,10 +181,9 @@ class NeRFMatchEvaluator:
 
         out = self.model.eval_match(
             self.params, img, pt_feat, jnp.asarray(pt3d), im_mask=im_mask,
-            pt_mask=pt_mask, mutual=mutual, match_thres=match_thres)
-        lists = dense_to_match_lists(
-            {k: out[k] for k in ("j_ids", "mconf", "valid")}, self.max_matches)
-        lists = jax.device_get(lists)
+            pt_mask=pt_mask, mutual=mutual, match_thres=match_thres,
+            top_k=self.max_matches)
+        lists = jax.device_get(out["lists"])
         self.timer["match_time"].append(time.perf_counter() - t0)
         valid = lists["valid"][0]
         i_ids = lists["i_ids"][0][valid]

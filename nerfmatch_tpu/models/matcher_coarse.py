@@ -268,16 +268,18 @@ class NeRFMatcherCoarse:
     # Jitted split-program eval entries
     # ------------------------------------------------------------------
 
-    def _eval_jit(self, kind: str, mutual: bool, match_thres: float):
+    def _eval_jit(self, kind: str, mutual: bool, match_thres: float,
+                  top_k: int | None = None):
         """Cached jits for the two-program eval forward: the conv trunk in
         one program, everything after it in another traced inside
         ``fused_attention_scope`` (Pallas attention; no convolutions in the
         same program — see the scope docstring for why that matters)."""
         from .attention import fused_attention_scope
+        from ..ops.matching import dense_to_match_lists
 
         cache = self.__dict__.setdefault("_eval_jit_cache", {})
         key = ((kind,) if kind == "backbone"
-               else (kind, mutual, float(match_thres)))
+               else (kind, mutual, float(match_thres), top_k))
         if key not in cache:
             if kind == "backbone":
                 cache[key] = jax.jit(self.im_backbone)
@@ -293,18 +295,28 @@ class NeRFMatcherCoarse:
                                   match_thres=match_thres, fmap=fmap)
                     # Only what inference consumes: returning the dense
                     # (B, M, N) conf matrix would move ~50 MB per query.
-                    return {k: out[k] for k in keep if k in out}
+                    res = {k: out[k] for k in keep if k in out}
+                    if top_k:
+                        dense = {k: res[k] for k in
+                                 ("j_ids", "mconf", "valid")}
+                        to_lists = lambda m: dense_to_match_lists(m, top_k)
+                        res["lists"] = (jax.vmap(to_lists)(dense)
+                                        if kind == "multi" else
+                                        to_lists(dense))
+                    return res
 
                 cache[key] = jax.jit(tail)
         return cache[key]
 
     def eval_match(self, params, img, pt_feat, pt3d, im_mask=None,
                    pt_mask=None, mutual: bool = False,
-                   match_thres: float = 0.0):
+                   match_thres: float = 0.0, top_k: int | None = None):
         """Inference forward (same outputs as :meth:`forward_match`), split
         into two jitted programs; multi-pair inputs (pt3d (B, K, N, 3))
-        route through :meth:`forward_multi_pair`."""
+        route through :meth:`forward_multi_pair`.  With ``top_k``, the
+        fixed-length high-confidence match lists (``dense_to_match_lists``)
+        are computed on device and returned under ``"lists"``."""
         fmap = self._eval_jit("backbone", mutual, match_thres)(params, img)
         kind = "multi" if pt3d.ndim == 4 else "single"
-        return self._eval_jit(kind, mutual, match_thres)(
+        return self._eval_jit(kind, mutual, match_thres, top_k)(
             params, fmap, pt_feat, pt3d, im_mask, pt_mask)
