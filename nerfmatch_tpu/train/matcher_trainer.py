@@ -375,11 +375,14 @@ def _train_matcher(config, coarse: bool):
             else:
                 args += [k]
             params, opt_state, metrics = stepper.step(*args)
-            agg.append(float(metrics["loss"]))
+            # Device-side scalar; a per-step float() would sync every step
+            # and drain the async dispatch pipeline.
+            agg.append(metrics["loss"])
             if i % 50 == 0:
                 mlog.log_scalars(epoch * 100000 + i,
                                  {k_: float(v) for k_, v in metrics.items()},
                                  prefix="train/neum_")
+        agg = [float(v) for v in jax.device_get(agg)]
         logger.info(f"epoch {epoch}: loss={np.mean(agg):.4f} "
                     f"lr={get_lr(opt_state):.2e}")
 

@@ -245,7 +245,10 @@ def train(config):
                 host_m = {k_: float(v) for k_, v in metrics.items()}
                 host_m["lr"] = get_lr(opt_state)
                 mlog.log_scalars(epoch * 10000 + i, host_m, prefix="train/")
-            agg.append(float(metrics["rgb_fine_psnr"]))
+            # Keep the per-step metric on device: a float() here would sync
+            # every step and drain the async dispatch pipeline.
+            agg.append(metrics["rgb_fine_psnr"])
+        agg = [float(v) for v in jax.device_get(agg)]
         logger.info(f"epoch {epoch}: train psnr={np.mean(agg):.2f} "
                     f"lr={get_lr(opt_state):.2e}")
 
