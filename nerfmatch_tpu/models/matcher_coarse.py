@@ -58,6 +58,7 @@ class CoarseMatcherConfig:
     pt_sa_type: str | None = "full"
     cformer_type: str = "crs"       # "crs" | "crsv2"
     coarse_layers: int = 1
+    fused_attention_train: bool = True  # Pallas attention in the train step
     compute_dtype: str = "float32"  # "bfloat16": bf16 backbone+attention
 
     @classmethod

@@ -14,9 +14,10 @@ blocking, while the matcher uses head_dim 32 with S that fits VMEM whole.
 Interface: ``fused_attention(qs, k, v)`` with qs PRE-SCALED by the caller
 (temperature/sqrt-d outside the custom_vjp, so LSA's learned-temperature
 gradient flows through plain autodiff).  Layout (B, N, H, D) matching
-``models/attention.py``.  The backward is the explicit softmax-attention
-gradient in XLA (materializes (L, S) twice — same cost class as the
-autodiff of the unfused path, with no stashed forward logits).
+``models/attention.py``.  The backward is a Pallas kernel with the same
+blocking (recomputes the row softmax; accumulates dK/dV across L-blocks in
+VMEM-resident output blocks — nothing is stashed and no (L, S) tensor
+touches HBM), with an explicit-formula XLA fallback off-TPU.
 
 Used automatically by ``models/attention.py`` on TPU backends when the
 padded KV length fits the VMEM budget; CPU tests keep the einsum path.
@@ -92,6 +93,95 @@ def _fused_fwd(qs, k, v, block_l: int = 512, interpret: bool = False):
     return jnp.swapaxes(out, 1, 2)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref,
+                     dq_ref, dk_ref, dv_ref):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]                                  # (BL, D)
+    kk = k_ref[0]                                 # (Sp, D)
+    vv = v_ref[0]
+    g = g_ref[0]                                  # (BL, D); zero on L-pad
+    scores = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + mask_ref[...]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    z = e / jnp.sum(e, axis=-1, keepdims=True)    # (BL, Sp)
+
+    dz = jax.lax.dot_general(g, vv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dl = z * (dz - jnp.sum(dz * z, axis=-1, keepdims=True))
+    dq_ref[0] = jnp.dot(dl, kk, preferred_element_type=jnp.float32)
+    dk_ref[0] += jax.lax.dot_general(dl, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dv_ref[0] += jax.lax.dot_general(z, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
+def _fused_bwd(qs, k, v, g, block_l: int = 512, interpret: bool = False):
+    """Pallas backward: same blocking as the forward, with dK/dV
+    accumulated across L-blocks in VMEM-resident output blocks."""
+    B, L, H, D = qs.shape
+    S = k.shape[1]
+    lp = -(-L // block_l) * block_l
+    sp = -(-S // 128) * 128
+
+    def heads(t, n, npad):
+        t = jnp.swapaxes(t, 1, 2).reshape(B * H, n, D)
+        return jnp.pad(t, ((0, 0), (0, npad - n), (0, 0)))
+
+    qh = heads(qs, L, lp)
+    kh = heads(k, S, sp)
+    vh = heads(v, S, sp)
+    gh = heads(g, L, lp)
+    mask = jnp.full((1, sp), _NEG, jnp.float32).at[:, :S].set(0.0)
+
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_kernel,
+        grid=(B * H, lp // block_l),
+        in_specs=[
+            pl.BlockSpec((1, block_l, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_l, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, lp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, sp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, sp, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(qh, kh, vh, gh, mask)
+
+    def unheads(t, n):
+        t = t[:, :n].reshape(B, H, n, D)
+        return jnp.swapaxes(t, 1, 2)
+
+    return unheads(dq, L), unheads(dk, S), unheads(dv, S)
+
+
 def _attn_bwd_xla(qs, k, v, g):
     """Explicit softmax-attention gradient (recompute; no stashed logits)."""
     logits = jnp.einsum("blhd,bshd->bhls", qs, k)
@@ -115,7 +205,10 @@ def _fwd(qs, k, v):
 
 
 def _bwd(res, g):
-    return _attn_bwd_xla(*res, g)
+    qs, k, v = res
+    if fused_attention_available(qs, k):
+        return _fused_bwd(qs, k, v, g)
+    return _attn_bwd_xla(qs, k, v, g)
 
 
 fused_attention.defvjp(_fwd, _bwd)

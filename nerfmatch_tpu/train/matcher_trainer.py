@@ -29,6 +29,7 @@ import optax
 
 from ..config import namespace2dict
 from ..data import init_data_loader
+from ..models.attention import fused_attention_scope
 from ..models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
 from ..models.matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
 from ..ops.matching import dense_to_match_lists, dual_softmax, \
@@ -84,7 +85,10 @@ class CoarseTrainStep:
                 metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
                            "loss": coarse_loss}
                 return coarse_loss, metrics
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            with fused_attention_scope(
+                    bool(getattr(model.cfg, "fused_attention_train", True))):
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -169,7 +173,10 @@ class C2FTrainStep:
                 }
                 return loss, metrics
 
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            with fused_attention_scope(
+                    bool(getattr(cfg, "fused_attention_train", True))):
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics

@@ -284,3 +284,28 @@ def test_fused_attention_matches_einsum_interpret():
     got_grads = _attn_bwd_xla(q, k, v, g)
     for a, b in zip(ref_grads, got_grads):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_attention_bwd_kernel_interpret():
+    """Pallas backward kernel (interpret) == autodiff of the einsum path."""
+    import jax
+    import jax.numpy as jnp
+    from nerfmatch_tpu.ops.pallas.attention_kernel import _fused_bwd
+
+    rng = np.random.default_rng(3)
+    B, L, S, H, D = 2, 40, 72, 4, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+
+    def ref(q, k, v):
+        logits = jnp.einsum("blhd,bshd->bhls", q, k)
+        z = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhls,bshd->blhd", z, v)
+
+    ref_grads = jax.vjp(ref, q, k, v)[1](g)
+    got = _fused_bwd(q, k, v, g, block_l=16, interpret=True)
+    for a, b in zip(ref_grads, got):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-5), \
+            np.abs(np.asarray(a) - np.asarray(b)).max()
