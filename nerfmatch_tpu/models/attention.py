@@ -49,22 +49,25 @@ def fused_attention_scope(enabled: bool = True):
         _FUSED_SCOPE.pop()
 
 
-def _attend(qs, k, v):
+def _attend(qs, k, v, bias=None):
     """Pre-scaled softmax attention core; inside ``fused_attention_scope``
     on TPU it runs the fused Pallas kernel (no HBM logits — see
     ``ops/pallas/attention_kernel.py``); otherwise the head-first XLA
-    einsum."""
+    einsum.  ``bias``: optional additive (L, S) logit bias (e.g. the
+    block-diagonal mask of packed window attention)."""
     from ..ops.pallas.attention_kernel import (
         fused_attention, fused_attention_available)
 
-    if _FUSED_SCOPE[-1] and fused_attention_available(qs, k):
+    if bias is None and _FUSED_SCOPE[-1] and fused_attention_available(qs, k):
         return fused_attention(qs, k, v)
     logits = jnp.einsum("blhd,bshd->bhls", qs, k)
+    if bias is not None:
+        logits = logits + bias
     z = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhls,bshd->blhd", z, v)
 
 
-def full_attention(q, k, v, temperature=None):
+def full_attention(q, k, v, temperature=None, bias=None):
     """Vanilla softmax attention; q,k,v: (B, L|S, H, D).
 
     Internally head-first (B, H, L, S) so the softmax reduces over the last
@@ -72,10 +75,10 @@ def full_attention(q, k, v, temperature=None):
     reduction on a middle axis and cost ~4x in practice.
     """
     scale = (1.0 / jnp.sqrt(q.shape[-1])) if temperature is None else temperature
-    return _attend(q * scale, k, v)
+    return _attend(q * scale, k, v, bias)
 
 
-def lsa_attention(q, k, v, log_scale):
+def lsa_attention(q, k, v, log_scale, bias=None):
     """Locality self-attention: learned temperature ``exp(log_scale)``
     (Vision Transformer for Small-Size Datasets).
 
@@ -84,7 +87,7 @@ def lsa_attention(q, k, v, log_scale):
     UNMASKED logits, so its trained behavior — and therefore ours — is
     plain temperature-scaled attention with no diagonal mask.
     """
-    return _attend(q * jnp.exp(log_scale), k, v)
+    return _attend(q * jnp.exp(log_scale), k, v, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +110,8 @@ def init_mha(key, model_dim: int, context_dim: int | None = None,
     return p
 
 
-def mha_apply(params, query, key, value, head_num: int, att_type: str = "full"):
+def mha_apply(params, query, key, value, head_num: int, att_type: str = "full",
+              attn_bias=None):
     q = linear(params["proj_q"], query)
     k = linear(params["proj_k"], key)
     v = linear(params["proj_v"], value)
@@ -118,9 +122,9 @@ def mha_apply(params, query, key, value, head_num: int, att_type: str = "full"):
 
     q, k, v = split(q), split(k), split(v)
     if att_type == "lsa":
-        attended = lsa_attention(q, k, v, params["scale"])
+        attended = lsa_attention(q, k, v, params["scale"], bias=attn_bias)
     else:
-        attended = full_attention(q, k, v)
+        attended = full_attention(q, k, v, bias=attn_bias)
     b, n = attended.shape[:2]
     return linear(params["proj_out"], attended.reshape(b, n, -1))
 
@@ -162,7 +166,8 @@ def init_encoder_layer(key, model_dim: int = 512, context_dim: int | None = None
 
 def encoder_layer_apply(params, x, context=None, head_num: int = 8,
                         norm_type: str = "pre", act_fn: str = "gelu",
-                        att_type: str = "full", att_mode: str = "self"):
+                        att_type: str = "full", att_mode: str = "self",
+                        attn_bias=None):
     """Pre/post-norm transformer encoder layer, self or cross attention."""
     if att_mode == "self":
         assert context is None
@@ -173,14 +178,16 @@ def encoder_layer_apply(params, x, context=None, head_num: int = 8,
         norm_c = params["norm1"][1] if len(params["norm1"]) > 1 else norm_x
         xn = layer_norm(norm_x, x)
         cn = layer_norm(norm_c, context) if att_mode == "cross" else xn
-        out = mha_apply(params["attention"], xn, cn, cn, head_num, att_type)
+        out = mha_apply(params["attention"], xn, cn, cn, head_num, att_type,
+                        attn_bias=attn_bias)
         out = xn + out
         h = layer_norm(params["norm2"], out)
         h = ffn_apply(params["feedforward"], h, act_fn)
         return out + h
 
     # post-norm
-    out = mha_apply(params["attention"], x, context, context, head_num, att_type)
+    out = mha_apply(params["attention"], x, context, context, head_num,
+                    att_type, attn_bias=attn_bias)
     out = layer_norm(params["norm1"][0], x + out)
     h = ffn_apply(params["feedforward"], out, act_fn)
     return layer_norm(params["norm2"], x + h)
@@ -202,10 +209,12 @@ def init_self_attention_block(key, layer_num: int, model_dim: int = 256,
 
 
 def self_attention_block_apply(params, x, head_num: int = 8,
-                               act_fn: str = "gelu", att_type: str = "full"):
+                               act_fn: str = "gelu", att_type: str = "full",
+                               attn_bias=None):
     for layer in params:
         x = encoder_layer_apply(layer, x, head_num=head_num, act_fn=act_fn,
-                                att_type=att_type, att_mode="self")
+                                att_type=att_type, att_mode="self",
+                                attn_bias=attn_bias)
     return x
 
 

@@ -213,9 +213,35 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         wins = self.gather_fine_windows(params, fmap_f, im_cfeat, b_ids, i_ids,
                                         coarse_w)
         if "fine_sa" in params:
-            wins = self_attention_block_apply(
-                params["fine_sa"], wins, head_num=8, att_type=self.cfg.fsa_type)
+            wins = self._packed_window_sa(params, wins)
         return self.fine_matching(params, pt_sel, wins)
+
+    def _packed_window_sa(self, params, wins):
+        """Window self-attention with P windows PACKED per attention group.
+
+        Per-window (T=win_sz^2=25)-token attention runs 25x16x25 batched
+        matmuls — ~20% MXU row utilization and ~7 ms for 3600 windows.
+        Packing P = 128 // T windows into one (P*T)-token group with a
+        block-diagonal -inf logit bias is numerically EXACT (cross-window
+        logits never survive the softmax) and fills the MXU tiles
+        (measured ~4x faster).  LayerNorm/FFN/residuals are token-wise, so
+        only the attention sees the packing.
+        """
+        cfg = self.cfg
+        L, T, C = wins.shape
+        P = max(1, 128 // T)
+        if P == 1:
+            return self_attention_block_apply(
+                params["fine_sa"], wins, head_num=8, att_type=cfg.fsa_type)
+        pad = (-L) % P
+        w = jnp.pad(wins, ((0, pad), (0, 0), (0, 0)))
+        w = w.reshape((L + pad) // P, P * T, C)
+        eye = jnp.repeat(jnp.repeat(jnp.eye(P, dtype=jnp.float32), T, 0), T, 1)
+        bias = (1.0 - eye) * -1e30                      # (P*T, P*T)
+        w = self_attention_block_apply(
+            params["fine_sa"], w, head_num=8, att_type=cfg.fsa_type,
+            attn_bias=bias)
+        return w.reshape(L + pad, T, C)[:L]
 
     def forward_match(self, params, img, pt_feat, pt3d, im_mask=None,
                       pt_mask=None, mutual: bool = False,

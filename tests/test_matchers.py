@@ -309,3 +309,26 @@ def test_fused_attention_bwd_kernel_interpret():
     for a, b in zip(ref_grads, got):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-5), \
             np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_packed_window_sa_matches_unpacked():
+    """Block-diagonal packed window attention == per-window attention."""
+    import jax
+    import jax.numpy as jnp
+    from nerfmatch_tpu.models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
+    from nerfmatch_tpu.models.attention import self_attention_block_apply
+
+    cfg = C2FMatcherConfig(backbone="tiny", pretrained=False, cfeat_dim=32,
+                           pt_dim=16, ffeat_dim=16, fine_sa=2, win_sz=5,
+                           im_sa=0, pt_sa=0, coarse_layers=0, pt_pe=False)
+    model = NeRFMatcherMS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    wins = jnp.asarray(rng.normal(size=(13, 25, 16)), jnp.float32)  # odd L
+
+    ref = self_attention_block_apply(params["fine_sa"], wins, head_num=8,
+                                     att_type=cfg.fsa_type)
+    got = model._packed_window_sa(params, wins)
+    assert got.shape == ref.shape
+    assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5), \
+        np.abs(np.asarray(ref) - np.asarray(got)).max()
