@@ -147,7 +147,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     # ------------------------------------------------------------------
     def gather_fine_windows(self, params, fmap_f, im_cfeat, b_ids, i_ids,
-                            coarse_w: int):
+                            coarse_w: int, identity_list: bool = False):
         """Gather W x W fine-feature windows at coarse match sites.
 
         fmap_f: (B, Hf, Wf, Cf); match list (L,) b_ids/i_ids over the (Hc*Wc)
@@ -173,7 +173,13 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
                   for dy in range(W) for dx in range(W)]
         allw = jnp.stack(shifts, axis=3)                  # (B, Hc, Wc, WW, Cf)
         allw = allw.reshape(B * Hc * Wc, W * W * Cf)
-        wins = take_rows(allw, b_ids * (Hc * Wc) + i_ids)
+        if identity_list:
+            # Dense eval mode: the match list enumerates every token in
+            # order, so the row gather is the identity — skip the ~46 MB
+            # take_rows movement.
+            wins = allw
+        else:
+            wins = take_rows(allw, b_ids * (Hc * Wc) + i_ids)
         wins = wins.reshape(wins.shape[0], W * W, Cf)
         if cfg.cat_c_feat and "fine_preprocess" in params:
             c_sel = take_rows_b(im_cfeat, b_ids, i_ids)   # (L, cdim)
@@ -204,14 +210,14 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     # ------------------------------------------------------------------
     def forward_fine(self, params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                     j_ids, coarse_w: int):
+                     j_ids, coarse_w: int, identity_list: bool = False):
         """Fine stage over a fixed-length match list -> expec_f (L, 3)."""
         pt_ffeat = pt_cfeat
         for lyr in params["pt_ffeat_proj"]:
             pt_ffeat = linear(lyr, pt_ffeat)
         pt_sel = take_rows_b(pt_ffeat, b_ids, j_ids)     # (L, Cf)
         wins = self.gather_fine_windows(params, fmap_f, im_cfeat, b_ids, i_ids,
-                                        coarse_w)
+                                        coarse_w, identity_list=identity_list)
         if "fine_sa" in params:
             wins = self._packed_window_sa(params, wins)
         return self.fine_matching(params, pt_sel, wins)
@@ -280,7 +286,8 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             j_ids = match_list["j_ids"]
 
         expec_f = self.forward_fine(params, fmap_f, im_cfeat, pt_cfeat,
-                                    b_ids, i_ids, j_ids, coarse_w)
+                                    b_ids, i_ids, j_ids, coarse_w,
+                                    identity_list=match_list is None)
         out = dict(conf_matrix=conf, expec_f=expec_f,
                    fine_b_ids=b_ids, fine_i_ids=i_ids, fine_j_ids=j_ids,
                    **matches)
@@ -320,7 +327,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
                                              threshold=match_thres)
             expec_f = self.forward_fine(
                 params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                matches["j_ids"].reshape(-1), coarse_w)
+                matches["j_ids"].reshape(-1), coarse_w, identity_list=True)
             return {"j_ids": matches["j_ids"], "mconf": matches["mconf"],
                     "valid": matches["valid"], "expec_f": expec_f}
 
