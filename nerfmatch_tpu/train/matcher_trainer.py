@@ -63,11 +63,20 @@ def coarse_losses(conf, conf_gt, im_n, pt_n, clamp: bool):
 
 
 class CoarseTrainStep:
-    """Jitted coarse matcher train step."""
+    """Jitted coarse matcher train step.
 
-    def __init__(self, model: NeRFMatcherCoarse, opt):
+    ``fused_attention``: trace the loss under ``fused_attention_scope`` —
+    defaults to the model config flag, but callers should disable it on
+    multi-device meshes (pallas_call partitioning under SPMD is not
+    validated here; the dense einsum path shards trivially)."""
+
+    def __init__(self, model: NeRFMatcherCoarse, opt,
+                 fused_attention: bool | None = None):
         self.model = model
         self.opt = opt
+        if fused_attention is None:
+            fused_attention = bool(getattr(model.cfg,
+                                           "fused_attention_train", True))
 
         @jax.jit
         def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
@@ -85,8 +94,7 @@ class CoarseTrainStep:
                 metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
                            "loss": coarse_loss}
                 return coarse_loss, metrics
-            with fused_attention_scope(
-                    bool(getattr(model.cfg, "fused_attention_train", True))):
+            with fused_attention_scope(fused_attention):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
@@ -112,12 +120,18 @@ class CoarseTrainStep:
 
 
 class C2FTrainStep:
-    """Jitted c2f matcher train step with GT-padded fine supervision."""
+    """Jitted c2f matcher train step with GT-padded fine supervision.
 
-    def __init__(self, model: NeRFMatcherMS, opt):
+    ``fused_attention``: see ``CoarseTrainStep``."""
+
+    def __init__(self, model: NeRFMatcherMS, opt,
+                 fused_attention: bool | None = None):
         self.model = model
         self.opt = opt
         cfg = model.cfg
+        if fused_attention is None:
+            fused_attention = bool(getattr(cfg, "fused_attention_train",
+                                           True))
 
         @jax.jit
         def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
@@ -173,8 +187,7 @@ class C2FTrainStep:
                 }
                 return loss, metrics
 
-            with fused_attention_scope(
-                    bool(getattr(cfg, "fused_attention_train", True))):
+            with fused_attention_scope(fused_attention):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
@@ -345,8 +358,12 @@ def _train_matcher(config, coarse: bool):
     opt_state = opt.init(params)
     lr_sched = make_lr_schedule(config.optim)
 
-    stepper = (CoarseTrainStep(model, opt) if coarse
-               else C2FTrainStep(model, opt))
+    # Fused pallas attention only on single-device meshes: the einsum path
+    # shards trivially under SPMD; pallas_call partitioning is unvalidated.
+    fused_ok = (mesh.devices.size == 1 and
+                bool(getattr(config.model, "fused_attention_train", True)))
+    stepper = (CoarseTrainStep(model, opt, fused_attention=fused_ok) if coarse
+               else C2FTrainStep(model, opt, fused_attention=fused_ok))
 
     train_loader = init_data_loader(config.data, exp.num_workers,
                                     exp.batch_size, split="train")
