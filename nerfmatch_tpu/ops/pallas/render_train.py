@@ -66,8 +66,16 @@ def pack_mlp_weights_traced(params, spec: FusedRenderSpec):
 
 
 def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
-    """Build ``fused_train(weights, o8, d8, z_vals, extras, noise) ->
-    (rgb (N, 3), weights (N, S))`` with a custom Pallas VJP."""
+    """Build the fused TRAIN forward with a custom Pallas VJP.
+
+    Default: ``fused_train(weights, o8, d8, z_vals, extras, noise)``.
+    ``spec.from_rays``: ``fused_train(weights, rays (N, 12), z_vals, noise)``
+    — ray spreads, viewdir-PE extras and the Gaussian moments are derived
+    in-kernel (z stays an input: training uses jittered fenceposts).
+    Returns (rgb (N, 3), weights (N, S)).
+    """
+    from .render_kernel import make_ray_matrices
+
     S = spec.samples
     R = spec.ray_tile
     hid = spec.hid_dim
@@ -77,8 +85,11 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
     tri_T = jnp.tril(jnp.ones((S, S), jnp.float32), k=-1).T  # logt @ tri_T = csum
     tri = jnp.tril(jnp.ones((S, S), jnp.float32), k=-1)      # g_csum @ tri = g_logt
     xyz_mask = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32)
-    consts = {"_Sp": Sp, "_Sq": Sq, "_phase": phase, "_triT": tri_T,
-              "_tri": tri, "_xyz": xyz_mask}
+    consts = {"_phase": phase, "_triT": tri_T, "_tri": tri}
+    if spec.from_rays:
+        consts.update(make_ray_matrices(spec))
+    else:
+        consts.update({"_Sp": Sp, "_Sq": Sq, "_xyz": xyz_mask})
 
     weight_keys = ["w0", "b0"] + sum(
         [[f"w{i}", f"b{i}"] for i in range(1, L)], []) + \
@@ -89,34 +100,57 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
     # Shared forward recompute (returns intermediates needed by bwd)
     # ------------------------------------------------------------------
 
-    def _forward_core(wr, o8, d8, z, extras, noise):
-        xyz = wr["_xyz"]
+    def _forward_core(wr, z, noise):
+        """Inputs via ``wr``: either (o8, d8, extras, _tmvr) [classic] or
+        (rays) [from_rays — everything derived in-kernel]."""
         t0, t1 = z[:, :-1], z[:, 1:]
         mu = (t0 + t1) / 2.0
         hw = (t1 - t0) / 2.0
         denom = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
         t_mean = mu + (2.0 * mu * hw**2) / denom
-        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
-            hw**4 * (12.0 * mu**2 - hw**2)) / denom**2
-        radius = o8[:, 3:4]
-        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                             - (4.0 / 15.0) * hw**4 / denom)
 
         def rmm(a, B):
             return jnp.dot(a, B, preferred_element_type=jnp.float32)
 
-        oS = rmm(o8 * xyz, wr["_Sp"])
-        dS = rmm(d8, wr["_Sp"])
-        d_sq = d8 * d8
-        dQ = rmm(d_sq, wr["_Sq"])
-        nQ = rmm(xyz - d_sq, wr["_Sq"])
-        E_oS = rmm(wr["_E"], oS)
-        E_dS = rmm(wr["_E"], dS)
-        E_dQ = rmm(wr["_E"], dQ)
-        E_nQ = rmm(wr["_E"], nQ)
-        t_col = wr["_tmvr"][:, 0:1]
-        tv_col = wr["_tmvr"][:, 1:2]
-        rv_col = wr["_tmvr"][:, 2:3]
+        E = wr["_E"]
+        if spec.from_rays:
+            rays = wr["rays"]
+            oS = rmm(rays, wr["_SpO"])
+            dS = rmm(rays, wr["_SpV"])
+            dQ = rmm(rays * rays, wr["_SqV"])
+            E_oS = rmm(E, oS)
+            E_dS = rmm(E, dS)
+            E_dQ = rmm(E, dQ)
+            E_nQ = wr["_sqrow"] - E_dQ           # E one-hot: E@sqrow = sqrow
+            r2_T = rmm(E, rays[:, 11:12] ** 2)
+            z_all = rmm(E, z)
+            t0c = jnp.sum(z_all * wr["_M0"], axis=-1, keepdims=True)
+            t1c = jnp.sum(z_all * wr["_M1"], axis=-1, keepdims=True)
+            mu_c = (t0c + t1c) / 2.0
+            hw_c = (t1c - t0c) / 2.0
+            den_c = jnp.maximum(_F32_EPS, 3.0 * mu_c**2 + hw_c**2)
+            t_col = mu_c + (2.0 * mu_c * hw_c**2) / den_c
+            tv_col = hw_c**2 / 3.0 - (4.0 / 15.0) * (
+                hw_c**4 * (12.0 * mu_c**2 - hw_c**2)) / den_c**2
+            rv_col = r2_T * (mu_c**2 / 4.0 + (5.0 / 12.0) * hw_c**2
+                             - (4.0 / 15.0) * hw_c**4 / den_c)
+            extras = (_fast_sin(rmm(rays, wr["_Pd"]) + wr["_phd"])
+                      * wr["_trg"] + rmm(rays, wr["_SelRaw"]))
+        else:
+            xyz = wr["_xyz"]
+            o8, d8, extras = wr["o8"], wr["d8"], wr["extras"]
+            oS = rmm(o8 * xyz, wr["_Sp"])
+            dS = rmm(d8, wr["_Sp"])
+            d_sq = d8 * d8
+            dQ = rmm(d_sq, wr["_Sq"])
+            nQ = rmm(xyz - d_sq, wr["_Sq"])
+            E_oS = rmm(E, oS)
+            E_dS = rmm(E, dS)
+            E_dQ = rmm(E, dQ)
+            E_nQ = rmm(E, nQ)
+            t_col = wr["_tmvr"][:, 0:1]
+            tv_col = wr["_tmvr"][:, 1:2]
+            rv_col = wr["_tmvr"][:, 2:3]
 
         pre = E_oS + t_col * E_dS + wr["_phase"]
         vs = tv_col * E_dQ + rv_col * E_nQ
@@ -162,20 +196,21 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         weights = alpha * jnp.exp(csum)
         return dict(xb=xb, hs=hs, feature=feature, sigma_raw=sigma_raw,
                     hv=hv, rgb=rgb, dists=dists, sigma=sigma, alpha=alpha,
-                    csum=csum, weights=weights, t_mean=t_mean)
+                    csum=csum, weights=weights, t_mean=t_mean, extras=extras)
 
     # ------------------------------------------------------------------
     # Forward kernel
     # ------------------------------------------------------------------
 
+    data_names = (["rays", "z", "noise", "_E"] if spec.from_rays else
+                  ["o8", "d8", "z", "extras", "noise", "_tmvr", "_E"])
+
     def fwd_kernel(*refs):
-        names = ["o8", "d8", "z", "extras", "noise", "_tmvr", "_E"] + \
-            weight_keys + list(consts.keys())
+        names = data_names + weight_keys + list(consts.keys())
         n_in = len(names)
         wr = {k: refs[i][...] for i, k in enumerate(names)}
         rgb_ref, w_ref = refs[n_in:]
-        f = _forward_core(wr, wr["o8"], wr["d8"], wr["z"], wr["extras"],
-                          wr["noise"])
+        f = _forward_core(wr, wr["z"], wr["noise"])
         rgb3 = f["rgb"].reshape(R, S, -1)
         rgb_map = jnp.sum(f["weights"][:, :, None] * rgb3, axis=1)
         if spec.white_bg:
@@ -189,8 +224,8 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
     # ------------------------------------------------------------------
 
     def bwd_kernel(*refs):
-        names = ["o8", "d8", "z", "extras", "noise", "_tmvr", "_E",
-                 "g_rgb", "g_w"] + weight_keys + list(consts.keys())
+        names = data_names + ["g_rgb", "g_w"] + weight_keys + \
+            list(consts.keys())
         n_in = len(names)
         wr = {k: refs[i][...] for i, k in enumerate(names)}
         grad_refs = dict(zip(weight_keys, refs[n_in:]))
@@ -201,8 +236,7 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
             for k in weight_keys:
                 grad_refs[k][...] = jnp.zeros_like(grad_refs[k])
 
-        f = _forward_core(wr, wr["o8"], wr["d8"], wr["z"], wr["extras"],
-                          wr["noise"])
+        f = _forward_core(wr, wr["z"], wr["noise"])
         g_rgb = wr["g_rgb"]            # (R, 128) cols 0:3 live
         g_w_in = wr["g_w"]             # (R, S)
         weights = f["weights"]
@@ -247,7 +281,7 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         g_hv = g_hv.astype(jnp.float32)
         g_hv3 = g_hv.reshape(R, S, -1)
         grad_refs["bv"][...] += jnp.sum(g_hv3, axis=(0, 1))
-        grad_refs["wvx"][...] += ctr(wr["extras"], jnp.sum(g_hv3, axis=1))
+        grad_refs["wvx"][...] += ctr(f["extras"], jnp.sum(g_hv3, axis=1))
         g_feature = jax.lax.dot_general(
             g_hv.astype(jnp.bfloat16), wr["wvh"].astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
@@ -311,16 +345,32 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
             return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
                                 memory_space=pltpu.VMEM)
 
-        base = [
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const_spec(expand),
-        ]
+        if spec.from_rays:
+            base = [
+                pl.BlockSpec((R, 12), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S + 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec(expand),
+            ]
+        else:
+            base = [
+                pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S + 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, spec.extra_dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec(expand),
+            ]
         if with_grads:
             base += [
                 pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -330,10 +380,16 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         base += [const_spec(consts[k]) for k in consts]
         return base
 
-    def _fwd_impl(weights, o8, d8, z_vals, extras, noise):
-        N = z_vals.shape[0]
+    def _operands(data):
+        if spec.from_rays:
+            rays, z_vals, noise = data
+            return [rays, z_vals, noise, expand]
+        o8, d8, z_vals, extras, noise = data
+        return [o8, d8, z_vals, extras, noise, _tmvr(o8, z_vals), expand]
+
+    def _fwd_impl(weights, *data):
+        N = data[1].shape[0] if spec.from_rays else data[2].shape[0]
         grid = (N // R,)
-        tm = _tmvr(o8, z_vals)
         out_specs = [
             pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -347,14 +403,13 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(o8, d8, z_vals, extras, noise, tm, expand,
+        )(*_operands(data),
           *[weights[k] for k in weight_keys], *[consts[k] for k in consts])
         return rgb_p[:, :3], w
 
-    def _bwd_impl(weights, o8, d8, z_vals, extras, noise, g_rgb3, g_w):
-        N = z_vals.shape[0]
+    def _bwd_impl(weights, data, g_rgb3, g_w):
+        N = data[1].shape[0] if spec.from_rays else data[2].shape[0]
         grid = (N // R,)
-        tm = _tmvr(o8, z_vals)
         g_rgb = _pad_axis(g_rgb3, 128, 1)
 
         def acc_spec(arr):
@@ -374,27 +429,23 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(o8, d8, z_vals, extras, noise, tm, expand, g_rgb, g_w,
+        )(*_operands(data), g_rgb, g_w,
           *[weights[k] for k in weight_keys], *[consts[k] for k in consts])
         g = {k: v.astype(weights[k].dtype) for k, v in zip(weight_keys, grads)}
         return g
 
     @jax.custom_vjp
-    def fused_train(weights, o8, d8, z_vals, extras, noise):
-        return _fwd_impl(weights, o8, d8, z_vals, extras, noise)
+    def fused_train(weights, *data):
+        return _fwd_impl(weights, *data)
 
-    def fwd(weights, o8, d8, z_vals, extras, noise):
-        out = _fwd_impl(weights, o8, d8, z_vals, extras, noise)
-        return out, (weights, o8, d8, z_vals, extras, noise)
+    def fwd(weights, *data):
+        return _fwd_impl(weights, *data), (weights, data)
 
     def bwd(res, cot):
-        weights, o8, d8, z_vals, extras, noise = res
+        weights, data = res
         g_rgb3, g_w = cot
-        g_weights = _bwd_impl(weights, o8, d8, z_vals, extras, noise,
-                              g_rgb3, g_w)
-        zeros = lambda x: jnp.zeros_like(x)
-        return (g_weights, zeros(o8), zeros(d8), zeros(z_vals),
-                zeros(extras), zeros(noise))
+        g_weights = _bwd_impl(weights, data, g_rgb3, g_w)
+        return (g_weights, *(jnp.zeros_like(x) for x in data))
 
     fused_train.defvjp(fwd, bwd)
     return fused_train
@@ -409,14 +460,17 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
     weights_fine, s_fine)`` mirroring the training outputs of
     ``NerfRenderer.render_rays(train=True)``.
     """
-    from ...nerf.embedding import pe_embedding
     from ...nerf.compositing import t_to_s
-    from .render_kernel import prepare_ray_inputs
     from .resample_kernel import resample_z_pallas
 
     cfg = renderer.cfg
     fine_cfg = renderer.fine_cfg
     S = fine_cfg.num_pts
+    # Classic input mode: the from_rays variant derives moments/extras
+    # in-kernel but measures ~4 ms/step SLOWER in training (the moment
+    # recompute runs in both the forward and the backward's remat, while
+    # the XLA-staged tmvr is computed once per program) — kept available
+    # via spec.from_rays and parity-tested, not used here.
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
@@ -425,6 +479,8 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
     coarse_key = "nerf_fine" if cfg.single_model else "nerf_coarse"
 
     def train_render(params, rays, key):
+        from ...nerf.embedding import pe_embedding
+        from .render_kernel import prepare_ray_inputs
         near, far = rays[:, 6:7], rays[:, 7:8]
         o8, d8 = prepare_ray_inputs(rays)
         dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)

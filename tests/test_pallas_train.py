@@ -109,3 +109,92 @@ def test_fused_train_forward_and_grads(setup):
         assert 0.8 < ratio < 1.25, (name, ratio)
         checked += 1
     assert checked >= 20  # every weight/bias leaf got a real gradient
+
+
+def test_fused_train_hierarchical_from_rays_interpret():
+    """The from_rays two-stage train render (interpret): finite outputs,
+    gradients flow to both models, and a few adam steps reduce the loss."""
+    import optax
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_train import \
+        make_fused_train_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [32, 32]},
+        # noise_std > 0: at random init relu(sigma) is 0 everywhere (fully
+        # transparent) and no gradient flows; the density noise (the
+        # reference's randomized training scheme) breaks the dead-relu.
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": True, "white_bg": False, "noise_std": 1.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    train_render = make_fused_train_hierarchical(renderer, interpret=True)
+
+    rng = np.random.default_rng(0)
+    n = 8
+    o = rng.uniform(-0.3, 0.3, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.5), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+
+    def loss_fn(p, key):
+        out = train_render(p, rays, key)
+        return (jnp.mean((out["rgb_fine"] - tgt) ** 2)
+                + 0.5 * jnp.mean((out["rgb_coarse"] - tgt) ** 2))
+
+    opt = optax.adam(1e-2)
+    os_ = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(4):
+        key, k = jax.random.split(key)
+        loss, g = jax.value_and_grad(loss_fn)(params, k)
+        losses.append(float(loss))
+        for mk in ("nerf_coarse", "nerf_fine"):
+            gn = sum(float(jnp.sum(jnp.abs(x)))
+                     for x in jax.tree_util.tree_leaves(g[mk]))
+            assert np.isfinite(gn) and gn > 0, (mk, gn)
+        up, os_ = opt.update(g, os_)
+        params = optax.apply_updates(params, up)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_fused_train_from_rays_matches_classic(setup):
+    """from_rays train kernel == classic (o8/d8/extras/tmvr) bit-for-bit."""
+    import dataclasses
+    from nerfmatch_tpu.ops.pallas.render_train import pack_mlp_weights_traced
+
+    cfg, params, z_vals, mean, var, d, dirs_pe, o8, d8, extras, noise = setup
+    spec_r = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                             samples=S, ray_tile=N_RAYS, feat_layer=3,
+                             from_rays=True, dirs_freqs=4)
+    spec_c = dataclasses.replace(spec_r, from_rays=False)
+    fused_r = make_fused_train_render(spec_r, interpret=True)
+    fused_c = make_fused_train_render(spec_c, interpret=True)
+    w = pack_mlp_weights_traced(params, spec_r)
+
+    o = o8[:, :3]
+    dd = d8[:, :3]
+    radii = o8[:, 3:4]
+    rays = jnp.concatenate(
+        [o, dd, jnp.full((N_RAYS, 1), 0.05), jnp.full((N_RAYS, 1), 1.4),
+         dd, radii], axis=-1)
+    # Positive density noise: at random init relu(sigma) can be dead.
+    noise_p = jnp.abs(noise) + 1.0
+
+    rgb_r, wt_r = fused_r(w, rays, z_vals, noise_p)
+    rgb_c, wt_c = fused_c(w, o8, d8, z_vals, extras, noise_p)
+    assert np.abs(np.asarray(rgb_r) - np.asarray(rgb_c)).max() < 1e-6
+    assert np.abs(np.asarray(wt_r) - np.asarray(wt_c)).max() < 1e-6
