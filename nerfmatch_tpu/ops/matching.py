@@ -39,7 +39,12 @@ def dual_softmax(im_feat, pt_feat, temperature, im_mask=None, pt_mask=None,
 
     im_n = _nrm(im_feat)
     pt_n = _nrm(pt_feat)
-    sim = jnp.einsum("bmd,bnd->bmn", im_n, pt_n)
+    # HIGHEST: the similarity decides the matches; TPU's default f32 matmul
+    # runs bf16 passes and shifts near-tie argmaxes (measured +3deg pose
+    # error on a quantization-limited synthetic scene).  One (M, N, D)
+    # matmul at 6-pass precision costs ~1 ms at production shapes.
+    sim = jnp.einsum("bmd,bnd->bmn", im_n, pt_n,
+                     precision=jax.lax.Precision.HIGHEST)
     sim = sim / temperature if temp_type == "div" else sim * temperature
     if im_mask is None:
         im_mask = jnp.ones(im_feat.shape[:2], sim.dtype)
