@@ -203,7 +203,10 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         """
         W = self.cfg.win_sz
         C = win_feat.shape[-1]
-        sim = jnp.einsum("mc,mrc->mr", pt_ffeat_sel, win_feat) / jnp.sqrt(C * 1.0)
+        # HIGHEST: subpixel coords come from this similarity's softmax (see
+        # the dual_softmax precision note in ops/matching.py).
+        sim = jnp.einsum("mc,mrc->mr", pt_ffeat_sel, win_feat,
+                         precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(C * 1.0)
         heat = jax.nn.softmax(sim, axis=1).reshape(-1, W, W)
         coords, std = heatmap_expectation_with_std(heat)
         return jnp.concatenate([coords, std[:, None]], axis=-1)
