@@ -30,8 +30,7 @@ from ..data import init_data_loader
 from ..data.loaders import init_mixed_dataset, init_multiscene_dataset, DataLoader
 from ..models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
 from ..models.matcher_coarse import CoarseMatcherConfig, NeRFMatcherCoarse
-from ..ops.matching import dense_to_match_lists
-from ..utils import Timers, get_logger
+from ..utils import get_logger
 from ..utils.geometry import pose_err
 from ..utils.metrics import POSE_THRES, average_pose_metrics, \
     summarize_pose_statis
