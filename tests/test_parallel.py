@@ -123,3 +123,47 @@ def test_sharded_point_match_equals_dense():
                               np.asarray(ref["j_ids"])[v])
         assert np.allclose(np.asarray(out["mconf"]), np.asarray(ref["mconf"]),
                            atol=1e-6)
+
+
+def test_sharded_fused_render_matches_single():
+    """The fused Pallas render pipeline under shard_map (rays sharded over
+    the 8-device data axis) matches the unsharded program."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+    from nerfmatch_tpu.parallel.render_sharding import make_sharded_render
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [32, 32]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(11)
+    n = 8 * 8  # 8 rays per device, one ray tile each
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+
+    mesh = make_mesh(data=8)
+    srender, pack = make_sharded_render(mesh, renderer, interpret=True,
+                                        ray_tile=8)
+    wc, wf = pack(params)
+    got = srender(wc, wf, rays)
+
+    render1, _ = make_fused_hierarchical(renderer, interpret=True, ray_tile=8)
+    ref = render1(wc, wf, rays)
+    for k in ("rgb_fine", "depth_fine", "feat_fine", "pts_fine"):
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        assert np.abs(a - b).max() < 1e-5, (k, np.abs(a - b).max())
