@@ -316,7 +316,12 @@ class NeRFMatcherCoarse:
         into two jitted programs; multi-pair inputs (pt3d (B, K, N, 3))
         route through :meth:`forward_multi_pair`.  With ``top_k``, the
         fixed-length high-confidence match lists (``dense_to_match_lists``)
-        are computed on device and returned under ``"lists"``."""
+        are computed on device and returned under ``"lists"``.
+
+        Call from host code, NOT inside an outer jit: nesting would inline
+        both halves into one program, putting the convolutions and the
+        fused attention kernel back together (see ``fused_attention_scope``
+        for why that compiles ~4-5x slower)."""
         fmap = self._eval_jit("backbone", mutual, match_thres)(params, img)
         kind = "multi" if pt3d.ndim == 4 else "single"
         return self._eval_jit(kind, mutual, match_thres, top_k)(

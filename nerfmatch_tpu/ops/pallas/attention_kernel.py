@@ -38,6 +38,15 @@ _NEG = -1e30
 MAX_KV = 8192
 
 
+def _pick_block(L: int) -> int:
+    """Largest 8-aligned L-block <= 512 that divides L (no padded rows);
+    falls back to 512 with padding.  3600 tokens -> 400 (vs 4096-row pad)."""
+    for bl in range(512, 63, -8):
+        if L % bl == 0:
+            return bl
+    return 512
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     q = q_ref[0]                                  # (BL, D)
     k = k_ref[0]                                  # (Sp, D)
@@ -197,17 +206,18 @@ def _attn_bwd_xla(qs, k, v, g):
 
 @jax.custom_vjp
 def fused_attention(qs, k, v):
-    return _fused_fwd(qs, k, v)
+    return _fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1]))
 
 
 def _fwd(qs, k, v):
-    return _fused_fwd(qs, k, v), (qs, k, v)
+    return (_fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1])),
+            (qs, k, v))
 
 
 def _bwd(res, g):
     qs, k, v = res
     if fused_attention_available(qs, k):
-        return _fused_bwd(qs, k, v, g)
+        return _fused_bwd(qs, k, v, g, block_l=_pick_block(qs.shape[1]))
     return _attn_bwd_xla(qs, k, v, g)
 
 
