@@ -73,6 +73,45 @@ def main():
     }), flush=True)
 
     bench_train_step(model, params)
+    bench_coarse_model()
+
+
+def bench_coarse_model():
+    """BASELINE config 2: the coarse-only 'Mini' matcher at eval shapes."""
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+
+    cfg = CoarseMatcherConfig(
+        backbone="convformer384", pretrained=False, cfeat_dim=256,
+        pt_dim=256, im_pe=True, im_sa=3, im_sa_type="share", pt_sa=3,
+        pt_pe=True, post_pt_pe=True, coarse_layers=1, cformer_type="crs")
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 480, 480, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(1, 3600, 256)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(1, 3600, 3)) * 0.3, jnp.float32)
+
+    def match(params, img, pt_feat, pt3d):
+        return model.eval_match(params, img, pt_feat, pt3d, mutual=True,
+                                top_k=2048)
+
+    out = match(params, img, pt_feat, pt3d)
+    np.asarray(out["j_ids"])
+    iters, rounds = 20, 3
+    dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = match(params, img, pt_feat, pt3d)
+        np.asarray(out["j_ids"])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+    print(json.dumps({
+        "metric": "coarse_match_throughput",
+        "value": round(1.0 / dt, 2),
+        "unit": "pairs/sec",
+        "vs_baseline": round(1.0 / dt / REF_PAIRS_PER_SEC, 3),
+    }), flush=True)
 
 
 def bench_train_step(model, params, bs: int = 2):
