@@ -62,25 +62,43 @@ def coarse_losses(conf, conf_gt, im_n, pt_n, clamp: bool):
     return coarse_loss, feat_l2
 
 
+def _build_step(body, mesh, n_sharded: int):
+    """jit the step body; on a multi-device mesh wrap it in shard_map with
+    the first ``n_sharded`` batch args split over ``data`` (params/opt_state
+    and trailing scalars/keys replicated, grads pmean'd inside ``body``)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(body)
+    n_extra = body.__code__.co_argcount - 3 - n_sharded  # trailing replicated
+    in_specs = (P(), P()) + (P("data"),) * n_sharded + (P(),) * n_extra
+    inner = functools.partial(body, axis="data")
+    return jax.jit(jax.shard_map(
+        inner, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P()),
+        check_vma=False))
+
+
 class CoarseTrainStep:
     """Jitted coarse matcher train step.
 
-    ``fused_attention``: trace the loss under ``fused_attention_scope`` —
-    defaults to the model config flag, but callers should disable it on
-    multi-device meshes (pallas_call partitioning under SPMD is not
-    validated here; the dense einsum path shards trivially)."""
+    ``fused_attention``: trace the loss under ``fused_attention_scope``
+    (defaults to the model config flag).  With a multi-device ``mesh`` the
+    step is built with ``shard_map`` (per-device loss + pmean of
+    grads/metrics) so the fused Pallas attention sees per-device local
+    shapes — plain jit sharding propagation cannot partition a pallas_call."""
 
     def __init__(self, model: NeRFMatcherCoarse, opt,
-                 fused_attention: bool | None = None):
+                 fused_attention: bool | None = None, mesh=None):
         self.model = model
         self.opt = opt
         if fused_attention is None:
             fused_attention = bool(getattr(model.cfg,
                                            "fused_attention_train", True))
 
-        @jax.jit
-        def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
-                 conf_gt, key):
+        def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
+                 conf_gt, key, axis=None):
             def loss_fn(p):
                 im_cfeat = self.model.extract_im_feat(p, image)
                 pt_cfeat = self.model.extract_pt_feat(p, pt_feat, pt3d, key=key)
@@ -97,11 +115,14 @@ class CoarseTrainStep:
             with fused_attention_scope(fused_attention):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                metrics = jax.lax.pmean(metrics, axis)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        self.step = step
+        self.step = _build_step(body, mesh, n_sharded=6)
 
         @jax.jit
         def val_forward(params, image, pt_feat, pt3d, im_mask, pt_mask,
@@ -125,7 +146,7 @@ class C2FTrainStep:
     ``fused_attention``: see ``CoarseTrainStep``."""
 
     def __init__(self, model: NeRFMatcherMS, opt,
-                 fused_attention: bool | None = None):
+                 fused_attention: bool | None = None, mesh=None):
         self.model = model
         self.opt = opt
         cfg = model.cfg
@@ -133,9 +154,8 @@ class C2FTrainStep:
             fused_attention = bool(getattr(cfg, "fused_attention_train",
                                            True))
 
-        @jax.jit
-        def step(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
-                 conf_gt, pt2d, pt2d_proj, key, coarse_only):
+        def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
+                 conf_gt, pt2d, pt2d_proj, key, coarse_only, axis=None):
             k_rand, k_pad = jax.random.split(key)
 
             def loss_fn(p):
@@ -190,11 +210,14 @@ class C2FTrainStep:
             with fused_attention_scope(fused_attention):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                metrics = jax.lax.pmean(metrics, axis)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        self.step = step
+        self.step = _build_step(body, mesh, n_sharded=8)
 
         @jax.jit
         def val_forward(params, image, pt_feat, pt3d, im_mask, pt_mask,
@@ -358,12 +381,11 @@ def _train_matcher(config, coarse: bool):
     opt_state = opt.init(params)
     lr_sched = make_lr_schedule(config.optim)
 
-    # Fused pallas attention only on single-device meshes: the einsum path
-    # shards trivially under SPMD; pallas_call partitioning is unvalidated.
-    fused_ok = (mesh.devices.size == 1 and
-                bool(getattr(config.model, "fused_attention_train", True)))
-    stepper = (CoarseTrainStep(model, opt, fused_attention=fused_ok) if coarse
-               else C2FTrainStep(model, opt, fused_attention=fused_ok))
+    fused_ok = bool(getattr(config.model, "fused_attention_train", True))
+    stepper = (CoarseTrainStep(model, opt, fused_attention=fused_ok,
+                               mesh=mesh) if coarse
+               else C2FTrainStep(model, opt, fused_attention=fused_ok,
+                                 mesh=mesh))
 
     train_loader = init_data_loader(config.data, exp.num_workers,
                                     exp.batch_size, split="train")

@@ -167,3 +167,50 @@ def test_sharded_fused_render_matches_single():
     for k in ("rgb_fine", "depth_fine", "feat_fine", "pts_fine"):
         a, b = np.asarray(ref[k]), np.asarray(got[k])
         assert np.abs(a - b).max() < 1e-5, (k, np.abs(a - b).max())
+
+
+def test_shard_map_matcher_step_matches_plain():
+    """The shard_map-built coarse matcher train step (multi-device mesh,
+    pmean'd grads) matches the plain jit step on the same global batch."""
+    import optax
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.train.matcher_trainer import CoarseTrainStep
+
+    cfg = CoarseMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        im_pe=True, im_sa=0, im_sa_type=None, pt_sa=0, pt_sa_type=None,
+        pt_pe=False, coarse_layers=0)
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+
+    rng = np.random.default_rng(0)
+    bs, hw, n = 8, 32, 16
+    m = (hw // 8) ** 2
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)
+    ones_m = jnp.ones((bs, m), jnp.float32)
+    ones_n = jnp.ones((bs, n), jnp.float32)
+    conf_gt = np.zeros((bs, m, n), np.float32)
+    conf_gt[:, np.arange(m), rng.integers(0, n, m)] = 1.0
+    conf_gt = jnp.asarray(conf_gt)
+    key = jax.random.PRNGKey(3)
+
+    plain = CoarseTrainStep(model, opt)
+    mesh = make_mesh(data=8)
+    sharded = CoarseTrainStep(model, opt, mesh=mesh)
+
+    os0 = opt.init(params)
+    args = (params, os0, img, pt_feat, pt3d, ones_m, ones_n, conf_gt, key)
+    p1, _, m1 = plain.step(*args)
+    sb = {k: jax.device_put(v, data_sharding(mesh, v.ndim))
+          for k, v in zip(("image", "pt_feat", "pt3d", "im", "pt", "gt"),
+                          (img, pt_feat, pt3d, ones_m, ones_n, conf_gt))}
+    p2, _, m2 = sharded.step(params, os0, sb["image"], sb["pt_feat"],
+                             sb["pt3d"], sb["im"], sb["pt"], sb["gt"], key)
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    w1 = np.asarray(jax.tree_util.tree_leaves(p1)[0])
+    w2 = np.asarray(jax.tree_util.tree_leaves(p2)[0])
+    assert np.allclose(w1, w2, atol=1e-6)
