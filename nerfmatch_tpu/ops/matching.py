@@ -53,6 +53,10 @@ def dual_softmax(im_feat, pt_feat, temperature, im_mask=None, pt_mask=None,
     valid = (im_mask[:, :, None] * pt_mask[:, None, :]) > 0
     sim = jnp.where(valid, sim, NEG_INF)
     conf = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+    # Zero masked entries: with a fully-masked row/col the finite NEG_INF
+    # fill would otherwise softmax to a uniform (nonzero) distribution and
+    # fabricate "valid" matches out of masked-out tokens.
+    conf = jnp.where(valid, conf, 0.0)
     return conf, im_n, pt_n
 
 

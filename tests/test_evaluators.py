@@ -369,3 +369,39 @@ def test_inerf_with_match_loss_smoke(tmp_path):
     c2w_ref, r_err, t_err = inerf_refinement(
         ev, batch, renderer, params, np.eye(4), c2w_gt, inerf_conf)
     assert np.all(np.isfinite(np.asarray(c2w_ref)))
+
+
+def test_eval_match_masks_and_zero_matches(scene):
+    """eval_match honors masks (parity with forward_match) and an all-masked
+    point set flows through the pose path as a graceful failure."""
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="train", val_num=4)
+    batch = _collate([ds[0]])
+
+    img = jnp.asarray(batch["image"])
+    pt_feat = jnp.asarray(batch["pt_feat"])
+    pt3d = jnp.asarray(batch["pt3d"])
+    im_mask = jnp.asarray(np.asarray(batch["im_mask"], np.float32))
+    pt_mask = jnp.asarray(np.asarray(batch["pt_mask"], np.float32))
+
+    ref = jax.jit(lambda p: ev.model.forward_match(
+        p, img, pt_feat, pt3d, im_mask=im_mask, pt_mask=pt_mask,
+        mutual=True))(ev.params)
+    got = ev.model.eval_match(ev.params, img, pt_feat, pt3d,
+                              im_mask=im_mask, pt_mask=pt_mask, mutual=True)
+    assert np.array_equal(np.asarray(ref["valid"]), np.asarray(got["valid"]))
+    assert np.array_equal(np.asarray(ref["j_ids"]), np.asarray(got["j_ids"]))
+
+    # All points masked out -> no valid matches -> pose failure, no crash.
+    batch_z = dict(batch)
+    batch_z["pt_mask"] = np.zeros_like(np.asarray(batch["pt_mask"]))
+    c2w_est, r_err, t_err, n = ev.eval_match_pose(
+        batch_z, match_oracle=False, mutual=True, rthres=6.0, solver="colmap")
+    assert n == 0
+    assert c2w_est is None
+    assert not np.isfinite(r_err) and not np.isfinite(t_err)
