@@ -90,4 +90,7 @@ def rays_intersect_sphere(rays_o, rays_d, r: float = 1.0):
     # (sqrt' at negative inputs would propagate NaN through jnp.where).
     det_safe = jnp.where(det >= 0, det, 1.0)
     t = (jnp.sqrt(det_safe) - odotd) / d_norm_sq
-    return jnp.where(det >= 0, t, jnp.nan)
+    # t <= 0 means the sphere is behind the ray (camera outside, looking
+    # away): no FORWARD intersection — callers' far-plane fallback must
+    # engage rather than receive a negative far.
+    return jnp.where((det >= 0) & (t > 0), t, jnp.nan)

@@ -284,6 +284,14 @@ def test_sample_nerf_rays_grid():
     assert np.all(np.isfinite(rays))
     assert np.all(rays[:, 7] > 0)  # far planes solved
 
+    # Camera OUTSIDE the unit sphere looking away: the sphere solve misses
+    # and the reference's far=1 fallback must keep every ray finite
+    # (render_utils.py:63-68).
+    c2w_out = jnp.eye(4).at[2, 3].set(3.0)  # looking +z, sphere behind
+    rays_out = np.asarray(raylib.sample_nerf_rays(H, W, K, c2w_out, ds=8))
+    assert np.all(np.isfinite(rays_out))
+    assert np.all(rays_out[:, 7] == 1.0)
+
 
 def test_scene_normalization_bounds_cameras():
     """All frustum corners land inside the unit sphere after normalization."""
