@@ -19,8 +19,10 @@ blocking (recomputes the row softmax; accumulates dK/dV across L-blocks in
 VMEM-resident output blocks — nothing is stashed and no (L, S) tensor
 touches HBM), with an explicit-formula XLA fallback off-TPU.
 
-Used automatically by ``models/attention.py`` on TPU backends when the
-padded KV length fits the VMEM budget; CPU tests keep the einsum path.
+Used by ``models/attention.py`` inside ``fused_attention_scope`` on TPU
+backends when the padded KV length fits the VMEM budget (the scope exists
+because convolutions feeding a pallas call compile pathologically — see the
+scope docstring); CPU tests keep the einsum path.
 """
 
 from __future__ import annotations

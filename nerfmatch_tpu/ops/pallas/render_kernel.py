@@ -5,14 +5,16 @@ The reference's hot loop (``renderer.py:153-173`` chunked MLP eval +
 cast (``render_utils.py:326-402``) as ONE Pallas kernel per ray tile.
 TPU-shaped design decisions:
 
-* the only per-sample HBM input is ``z_vals`` (N, S+1); ray origins/dirs are
-  (N, 8) rows.  The Gaussian cast and the integrated positional encoding are
-  fused via the linearity of the spread transform:
+* the only per-sample HBM input is ``z_vals`` (N, S+1); rays enter as packed
+  (N, 12) rows (``from_rays`` mode — viewdir-PE extras and the per-sample
+  Gaussian moments are derived in-kernel via periodic one-hot lane masks
+  over the E-expanded fenceposts).  The Gaussian cast and the integrated
+  positional encoding are fused via the linearity of the spread transform:
   ``mean @ Sp = o @ Sp + t_mean * (d @ Sp)`` and
   ``var @ Sq = t_var * (d^2 @ Sq) + r_var * ((1 - d^2) @ Sq)``
-  — so the kernel computes per-ray row vectors with four (8, 128) matmuls
-  and broadcasts them over samples; the (N, S, 3) mean/cov tensors of the
-  XLA path (lane-hostile 3-wide layouts) never exist;
+  — so the kernel computes per-ray row vectors with a handful of (12, 128)
+  matmuls and broadcasts them over samples; the (N, S, 3) mean/cov tensors
+  of the XLA path (lane-hostile 3-wide layouts) never exist;
 * the MLP trunk runs in bf16 on the MXU with all weights resident in VMEM
   across grid steps; activations never touch HBM;
 * compositing happens in-kernel: the exclusive transmittance cumprod is a
