@@ -100,8 +100,14 @@ class NerfTrainer:
             return self._train_step
         renderer, opt, cnfg_loss = self.renderer, self.opt, self.cnfg_loss
         if use_fused is None:
-            use_fused = bool(getattr(getattr(self.config, "render", None),
-                                     "use_fused_train", False)) and                 renderer.fused_eval_supported
+            # The fused TRAIN kernel does not thread per-image appearance
+            # embeddings (the fused EVAL path does, via the per-ray extras);
+            # Cambridge-style appearance configs must keep the XLA step or
+            # they would silently train without the embedding.
+            use_fused = (bool(getattr(getattr(self.config, "render", None),
+                                      "use_fused_train", False))
+                         and renderer.fused_eval_supported
+                         and not renderer.cfg.appearance_embedding)
 
         fused_render = None
         if use_fused:
