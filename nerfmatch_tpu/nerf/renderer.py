@@ -282,11 +282,17 @@ class NerfRenderer:
     @property
     def fused_eval_supported(self) -> bool:
         """The fused Pallas path covers the production eval configs: mip
-        hierarchy, viewdirs, 128 samples (appearance embeddings ride in the
-        per-ray extras)."""
+        hierarchy, viewdirs, 128 samples, linear feature compositing
+        (appearance embeddings ride in the per-ray extras).  Configs using
+        disparity sampling, a scaled IPE variance or 'max' feature
+        compositing fall back to the XLA path — the kernel does not
+        implement those semantics and must not silently drop them."""
         return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
                 and self.fine_cfg is not None
-                and self.fine_cfg.num_pts == 128)
+                and self.fine_cfg.num_pts == 128
+                and not self.cfg.use_disp
+                and self.cfg.mip_var_scale <= 0
+                and self.cfg.feat_comb == "lin")
 
     @functools.cached_property
     def _fused_eval(self):

@@ -107,7 +107,8 @@ class NerfTrainer:
             use_fused = (bool(getattr(getattr(self.config, "render", None),
                                       "use_fused_train", False))
                          and renderer.fused_eval_supported
-                         and not renderer.cfg.appearance_embedding)
+                         and not renderer.cfg.appearance_embedding
+                         and not renderer.cfg.out_scr)
 
         fused_render = None
         if use_fused:
