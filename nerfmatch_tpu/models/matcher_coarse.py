@@ -189,7 +189,11 @@ class NeRFMatcherCoarse:
         if cfg.pt_ftype == "pt3d":
             pt_feat = pt3d
         elif cfg.pt_ftype == "rand":
-            assert key is not None
+            # Eval paths pass no key: the reference draws from the global
+            # torch RNG here (an arbitrary stream); a fixed key keeps the
+            # ablation runnable and deterministic at inference.
+            if key is None:
+                key = jax.random.PRNGKey(0)
             pt_feat = jax.random.normal(
                 key, (*pt_feat.shape[:2], cfg.effective_pt_dim), pt_feat.dtype)
         elif cfg.pt_ftype == "pe3d":

@@ -332,3 +332,13 @@ def test_packed_window_sa_matches_unpacked():
     assert got.shape == ref.shape
     assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5), \
         np.abs(np.asarray(ref) - np.asarray(got)).max()
+
+
+def test_rand_ablation_eval_match_no_key():
+    """The pt_ftype='rand' ablation must run through the keyless eval path."""
+    cfg = tiny_coarse_cfg(pt_ftype="rand")
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    img, pt_feat, pt3d = rand_inputs(jax.random.PRNGKey(1), b=1)
+    out = model.eval_match(params, img, pt_feat, pt3d, mutual=True, top_k=8)
+    assert np.all(np.isfinite(np.asarray(out["mconf"])))
