@@ -72,7 +72,11 @@ def _build_step(body, mesh, n_sharded: int):
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(body)
-    n_extra = body.__code__.co_argcount - 3 - n_sharded  # trailing replicated
+    # body signature: (params, opt_state, <n_sharded batch args>,
+    # <trailing replicated args: keys/flags>, axis=); params/opt_state and
+    # the trailing args are replicated, the batch args split over 'data'.
+    n_extra = body.__code__.co_argcount - 3 - n_sharded  # 3 = params,
+    #                                                      opt_state, axis
     in_specs = (P(), P()) + (P("data"),) * n_sharded + (P(),) * n_extra
     inner = functools.partial(body, axis="data")
     return jax.jit(jax.shard_map(
