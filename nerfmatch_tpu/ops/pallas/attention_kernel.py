@@ -228,7 +228,10 @@ fused_attention.defvjp(_fwd, _bwd)
 
 def fused_attention_available(q, k) -> bool:
     """Gate: TPU-like backend, KV fits the in-VMEM budget, real workload."""
-    if jax.default_backend() in ("cpu",):
+    # Allowlist-by-exclusion: the kernel is Mosaic/TPU-only (the dev
+    # tunnel's backend reports "axon", so exclude known non-TPU backends
+    # rather than matching "tpu").
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm", "metal"):
         return False
     s = k.shape[1]
     sp = -(-s // 128) * 128
