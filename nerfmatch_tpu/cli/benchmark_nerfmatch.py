@@ -162,6 +162,9 @@ def build_parser():
     p.add_argument("--no_cache_pt", action="store_true")
     p.add_argument("--retrieval_only", action="store_true")
     p.add_argument("--match_oracle", action="store_true")
+    p.add_argument("--point_shard", action="store_true",
+                   help="Shard the point axis of coarse matching over the "
+                        "device mesh (merged multi-pair point clouds).")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--seeds", type=int, nargs="*", default=[])
     p.add_argument("--feats", type=str, nargs="*", default=[])

@@ -134,6 +134,17 @@ class NeRFMatchEvaluator:
                               .replace(".ckpt", "_eval_results"))
         self.timer = defaultdict(list)
         self.max_matches = int(getattr(config, "max_matches", 2048))
+        # Point-axis-sharded coarse matching over a multi-chip mesh
+        # (--point_shard): for merged multi-pair point clouds the (M, N)
+        # dual-softmax dominates; shard N over the data axis (see
+        # NeRFMatcherCoarse.eval_match_point_sharded).
+        self.point_shard_mesh = None
+        if bool(getattr(config, "point_shard", False)) and self.coarse_only:
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            if n_dev > 1:
+                self.point_shard_mesh = make_mesh(data=n_dev)
 
     # ------------------------------------------------------------------
     def _extract_matches_host(self, batch, mutual, match_thres):
@@ -178,10 +189,17 @@ class NeRFMatchEvaluator:
             self.timer["match_time"].append((time.perf_counter() - t0) / K_pairs)
             return np.concatenate(all2d), np.concatenate(all3d)
 
-        out = self.model.eval_match(
-            self.params, img, pt_feat, jnp.asarray(pt3d), im_mask=im_mask,
-            pt_mask=pt_mask, mutual=mutual, match_thres=match_thres,
-            top_k=self.max_matches)
+        mesh = self.point_shard_mesh
+        if mesh is not None and pt3d.shape[1] % mesh.devices.size == 0:
+            out = self.model.eval_match_point_sharded(
+                self.params, mesh, img, pt_feat, jnp.asarray(pt3d),
+                im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
+                match_thres=match_thres, top_k=self.max_matches)
+        else:
+            out = self.model.eval_match(
+                self.params, img, pt_feat, jnp.asarray(pt3d),
+                im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
+                match_thres=match_thres, top_k=self.max_matches)
         lists = jax.device_get(out["lists"])
         self.timer["match_time"].append(time.perf_counter() - t0)
         valid = lists["valid"][0]

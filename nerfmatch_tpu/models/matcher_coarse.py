@@ -283,11 +283,20 @@ class NeRFMatcherCoarse:
         from ..ops.matching import dense_to_match_lists
 
         cache = self.__dict__.setdefault("_eval_jit_cache", {})
-        key = ((kind,) if kind == "backbone"
+        key = ((kind,) if kind in ("backbone", "feats")
                else (kind, mutual, float(match_thres), top_k))
         if key not in cache:
             if kind == "backbone":
                 cache[key] = jax.jit(self.im_backbone)
+            elif kind == "feats":
+                def feats(params, fmap, pt_feat, pt3d):
+                    with fused_attention_scope(True):
+                        im_cfeat = self.im_feat_from_fmap(params, fmap)
+                        pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d)
+                        return self.apply_coarse_former(params, im_cfeat,
+                                                        pt_cfeat)
+
+                cache[key] = jax.jit(feats)
             else:
                 fwd = (self.forward_multi_pair if kind == "multi"
                        else self.forward_match)
@@ -330,3 +339,34 @@ class NeRFMatcherCoarse:
         kind = "multi" if pt3d.ndim == 4 else "single"
         return self._eval_jit(kind, mutual, match_thres, top_k)(
             params, fmap, pt_feat, pt3d, im_mask, pt_mask)
+
+    def eval_match_point_sharded(self, params, mesh, img, pt_feat, pt3d,
+                                 im_mask=None, pt_mask=None,
+                                 mutual: bool = False,
+                                 match_thres: float = 0.0,
+                                 top_k: int | None = None):
+        """Single-pair coarse matching with the POINT axis sharded over
+        ``mesh`` (net-new TPU design, SURVEY §5).
+
+        For merged multi-pair point clouds (``NeRFMatchMultiPair``,
+        N ~ pair_topk*3600 on Cambridge) the (M, N) dual-softmax + mutual
+        extraction dominates and scales with N; here every device computes
+        its (M, N/d) block and the cross-point normalization + argmax ride
+        ICI as (B, M) row statistics (``parallel/point_sharding.py``).
+        Feature extraction stays replicated — its cost is O(N), not
+        O(M*N).  Bit-matched to :meth:`eval_match` on the same inputs
+        (tests/test_parallel.py::test_point_sharded_eval_match)."""
+        from ..ops.matching import dense_to_match_lists
+        from ..parallel.point_sharding import sharded_point_match
+
+        fmap = self._eval_jit("backbone", False, 0.0)(params, img)
+        im_cfeat, pt_cfeat = self._eval_jit("feats", False, 0.0)(
+            params, fmap, pt_feat, pt3d)
+        matches = sharded_point_match(
+            mesh, im_cfeat, pt_cfeat, params["temperature"], im_mask,
+            pt_mask, temp_type=self.cfg.temp_type, mutual=mutual,
+            threshold=match_thres)
+        out = dict(matches)
+        if top_k:
+            out["lists"] = dense_to_match_lists(matches, top_k)
+        return out

@@ -214,3 +214,45 @@ def test_shard_map_matcher_step_matches_plain():
     w1 = np.asarray(jax.tree_util.tree_leaves(p1)[0])
     w2 = np.asarray(jax.tree_util.tree_leaves(p2)[0])
     assert np.allclose(w1, w2, atol=1e-6)
+
+
+def test_point_sharded_eval_match_equals_dense():
+    """eval_match_point_sharded == eval_match on a merged (single-pair,
+    big-N) point cloud — the production Cambridge multi-pair layout —
+    including the fixed-length top-k lists the evaluator consumes."""
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+
+    cfg = CoarseMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        im_pe=True, im_sa=1, im_sa_type="share", pt_sa=1, pt_sa_type="full",
+        pt_pe=True, coarse_layers=1, fused_attention_train=False)
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(2)
+    bs, hw, n = 1, 32, 64  # n divisible by the 8-device mesh
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)
+    m = (hw // 8) ** 2
+    im_mask = jnp.asarray(rng.uniform(size=(bs, m)) > 0.1, jnp.float32)
+    pt_mask = jnp.asarray(rng.uniform(size=(bs, n)) > 0.1, jnp.float32)
+
+    ref = model.eval_match(params, img, pt_feat, pt3d, im_mask=im_mask,
+                           pt_mask=pt_mask, mutual=True, top_k=32)
+    mesh = make_mesh(data=8)
+    got = model.eval_match_point_sharded(
+        params, mesh, img, pt_feat, pt3d, im_mask=im_mask, pt_mask=pt_mask,
+        mutual=True, top_k=32)
+
+    assert np.array_equal(np.asarray(got["valid"]), np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    assert np.array_equal(np.asarray(got["j_ids"])[v],
+                          np.asarray(ref["j_ids"])[v])
+    assert np.allclose(np.asarray(got["mconf"]), np.asarray(ref["mconf"]),
+                       atol=1e-6)
+    lv = np.asarray(ref["lists"]["valid"])
+    for k in ("i_ids", "j_ids", "valid"):
+        assert np.array_equal(np.asarray(got["lists"][k])[lv],
+                              np.asarray(ref["lists"][k])[lv]), k
