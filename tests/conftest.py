@@ -26,7 +26,28 @@ jax.config.update("jax_enable_x64", False)
 # (trainer/evaluator graphs take ~10 min cold); warm re-runs finish in a
 # couple of minutes.  The cache key includes jax version + HLO, so stale
 # entries are simply misses.
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+#
+# Keyed PER HOST: the CPU AOT entries embed machine features (AVX512 etc.);
+# loading a cache compiled on a different machine makes XLA's cpu_aot_loader
+# spew feature-mismatch errors and risks SIGILL.  A digest of the host's CPU
+# flags isolates each machine's entries.
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = platform.processor()
+    return hashlib.sha256(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+
+
+_cache_dir = (pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+              / _host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
