@@ -23,6 +23,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host mesh (no-op single-process)
     args = build_parser().parse_args(argv)
     config, _ = load_yaml_config(args.config)
     config = merge_configs(config, args)

@@ -98,6 +98,9 @@ def apply_update_conf(config, args):
 
 
 def main(argv=None, stage=None):
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host mesh (no-op single-process)
     args = build_parser().parse_args(argv)
     if stage is not None:
         args.stage = stage

@@ -51,15 +51,26 @@ def _collate(samples):
 
 class DataLoader:
     """Minimal host loader: shuffled index order, dict-collation, optional
-    background-thread prefetch (depth 2)."""
+    background-thread prefetch (depth 2).
+
+    Multi-host training: ``batch_size`` is the GLOBAL batch;
+    ``process_index``/``process_count`` make each process load only its
+    contiguous slice of every (identically shuffled — same seed on all
+    processes) global batch.  ``parallel.mesh.shard_batch`` reassembles the
+    global device array from the per-process shards."""
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 num_workers: int = 0, drop_last: bool = False, seed: int = 0):
+                 num_workers: int = 0, drop_last: bool = False, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, \
+            f"global batch {batch_size} % processes {process_count} != 0"
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = num_workers > 0
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -74,8 +85,13 @@ class DataLoader:
             idx = self._rng.permutation(idx)
         end = (len(idx) // self.batch_size * self.batch_size
                if self.drop_last else len(idx))
+        per = self.batch_size // self.process_count
+        lo = self.process_index * per
         for i in range(0, end, self.batch_size):
-            yield idx[i : i + self.batch_size]
+            gbatch = idx[i : i + self.batch_size]
+            if self.process_count > 1:
+                gbatch = gbatch[lo : lo + per]
+            yield gbatch
 
     def _produce(self, q):
         try:
@@ -153,7 +169,11 @@ def init_data_loader(config, num_workers: int = 1, batch_size: int = 1,
         dataset = _dataset_registry()[config.dataset](config, split=split,
                                                       debug=debug)
     if split == "train":
+        from ..parallel.distributed import process_info
+
+        pid, pcount = process_info()
         return DataLoader(dataset, batch_size=batch_size, shuffle=True,
-                          num_workers=num_workers, drop_last=True)
+                          num_workers=num_workers, drop_last=True,
+                          process_index=pid, process_count=pcount)
     return DataLoader(dataset, batch_size=1, shuffle=False,
                       num_workers=num_workers)

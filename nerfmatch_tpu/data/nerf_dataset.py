@@ -366,13 +366,23 @@ class NerfBaseDataset:
     def ray_batches(self, batch_size: int, rng: np.random.Generator,
                     drop_last: bool = True):
         """Shuffled fixed-size ray batches over the preloaded train rays —
-        the TPU-side replacement for per-ray DataLoader indexing."""
+        the TPU-side replacement for per-ray DataLoader indexing.
+
+        ``batch_size`` is the GLOBAL batch.  Multi-host: every process draws
+        the identical permutation (the trainer seeds ``rng`` with
+        ``exp.seed`` on all processes) and yields only its contiguous local
+        row block; ``mesh.shard_batch`` reassembles the global array."""
+        from ..parallel.distributed import local_slice, process_info
+
         assert self.split == "train"
         n = len(self.all_rays)
         perm = rng.permutation(n)
         end = n - (n % batch_size) if drop_last else n
+        _, pcount = process_info()
         for i in range(0, end, batch_size):
             idx = perm[i : i + batch_size]
+            if pcount > 1:
+                idx = idx[local_slice(len(idx))]
             batch = {
                 "rays": self.all_rays[idx],
                 "rgbs": self.all_rgbs[idx],

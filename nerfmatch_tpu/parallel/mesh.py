@@ -42,14 +42,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a dict of host arrays onto the mesh, batch-dim sharded."""
+    """Place a dict of host arrays onto the mesh, batch-dim sharded.
+
+    Single-process: ``batch`` holds the GLOBAL batch and is device_put
+    sharded.  Multi-process (multi-host mesh): ``batch`` holds this
+    process's LOCAL row block (see ``parallel.distributed.local_slice``);
+    the global ``jax.Array`` is assembled from the per-process shards
+    without any cross-host data movement.
+    """
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
         if arr.dtype.kind not in "fiub" or arr.ndim == 0:
             out[k] = v  # strings / objects / scalars stay host-side
             continue
-        out[k] = jax.device_put(arr, data_sharding(mesh, arr.ndim))
+        sharding = data_sharding(mesh, arr.ndim)
+        if multiproc:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        else:
+            out[k] = jax.device_put(arr, sharding)
     return out
 
 
