@@ -65,7 +65,8 @@ def pack_mlp_weights_traced(params, spec: FusedRenderSpec):
     return w
 
 
-def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
+def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
+                            extras_grad: bool = False):
     """Build the fused TRAIN forward with a custom Pallas VJP.
 
     Default: ``fused_train(weights, o8, d8, z_vals, extras, noise)``.
@@ -73,7 +74,15 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
     — ray spreads, viewdir-PE extras and the Gaussian moments are derived
     in-kernel (z stays an input: training uses jittered fenceposts).
     Returns (rgb (N, 3), weights (N, S)).
+
+    ``extras_grad`` (classic mode only): the backward additionally emits the
+    cotangent of the per-ray ``extras`` input, so appearance-embedding rows
+    riding in ``extras`` (reference ``renderer.py:104-107``) receive
+    gradients — XLA autodiff then routes them through the concat + table
+    gather back to ``params["embedding_a"]``.
     """
+    assert not (extras_grad and spec.from_rays), \
+        "extras_grad requires the classic input mode (extras is an input)"
     from .render_kernel import make_ray_matrices
 
     S = spec.samples
@@ -229,6 +238,7 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         n_in = len(names)
         wr = {k: refs[i][...] for i, k in enumerate(names)}
         grad_refs = dict(zip(weight_keys, refs[n_in:]))
+        g_ext_ref = refs[n_in + len(weight_keys)] if extras_grad else None
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -282,6 +292,17 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         g_hv3 = g_hv.reshape(R, S, -1)
         grad_refs["bv"][...] += jnp.sum(g_hv3, axis=(0, 1))
         grad_refs["wvx"][...] += ctr(f["extras"], jnp.sum(g_hv3, axis=1))
+        if extras_grad:
+            # d loss / d extras: extras enters once per ray via
+            # xt = extras @ wvx broadcast over samples.  Both stages are
+            # matmuls: the per-sample cotangent times wvx^T, then the
+            # per-ray sample-sum as E^T @ . (reduce outputs written to or
+            # consumed by matmuls trip a Mosaic relayout error on v5e).
+            g_ext_full = jnp.dot(
+                g_hv.astype(jnp.bfloat16),
+                wr["wvx"].astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32)          # (T, extra)
+            g_ext_ref[...] = ctr(wr["_E"], g_ext_full)       # (R, extra)
         g_feature = jax.lax.dot_general(
             g_hv.astype(jnp.bfloat16), wr["wvh"].astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
@@ -421,6 +442,14 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
                      for k in weight_keys]
         out_shape = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
                      for k in weight_keys]
+        if extras_grad:
+            # Per-ray extras cotangent: written per grid step, not
+            # accumulated across steps like the weight grads.
+            out_specs.append(pl.BlockSpec((R, spec.extra_dim),
+                                          lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((N, spec.extra_dim), jnp.float32))
         # The backward's residual+grad working set sits within ~1 MB of the
         # default 16 MB scoped-vmem limit (XLA scheduling can tip it over);
         # raise the limit — v5e has 128 MB of physical VMEM.
@@ -432,7 +461,8 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
         )(*_operands(data), g_rgb, g_w,
           *[weights[k] for k in weight_keys], *[consts[k] for k in consts])
         g = {k: v.astype(weights[k].dtype) for k, v in zip(weight_keys, grads)}
-        return g
+        g_extras = grads[len(weight_keys)] if extras_grad else None
+        return g, g_extras
 
     @jax.custom_vjp
     def fused_train(weights, *data):
@@ -444,8 +474,11 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False):
     def bwd(res, cot):
         weights, data = res
         g_rgb3, g_w = cot
-        g_weights = _bwd_impl(weights, data, g_rgb3, g_w)
-        return (g_weights, *(jnp.zeros_like(x) for x in data))
+        g_weights, g_extras = _bwd_impl(weights, data, g_rgb3, g_w)
+        g_data = [jnp.zeros_like(x) for x in data]
+        if extras_grad:
+            g_data[3] = g_extras  # (o8, d8, z, EXTRAS, noise)
+        return (g_weights, *g_data)
 
     fused_train.defvjp(fwd, bwd)
     return fused_train
@@ -475,16 +508,30 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
         feat_layer=max(fine_cfg.stop_layer, 0) or 3, white_bg=cfg.white_bg)
-    fused = make_fused_train_render(spec, interpret=interpret)
+    use_app = bool(cfg.appearance_embedding)
+    assert renderer.dirs_emb_dim + 16 * use_app <= spec.extra_dim
+    fused = make_fused_train_render(spec, interpret=interpret,
+                                    extras_grad=use_app)
     coarse_key = "nerf_fine" if cfg.single_model else "nerf_coarse"
 
-    def train_render(params, rays, key):
+    def train_render(params, rays, key, ray_id=None):
         from ...nerf.embedding import pe_embedding
         from .render_kernel import prepare_ray_inputs
         near, far = rays[:, 6:7], rays[:, 7:8]
         o8, d8 = prepare_ray_inputs(rays)
         dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)
-        extras = _pad_axis(dirs_pe, spec.extra_dim, 1)
+        if use_app:
+            # Per-ray appearance rows ride in extras after the viewdir PE
+            # (views-branch weight rows are [dirs | app], model.py:145);
+            # extras_grad on the kernel feeds the table via this gather.
+            if ray_id is None:
+                ray_id = jnp.ones((rays.shape[0],), jnp.int32)
+            app_emb = params["embedding_a"]["weight"][ray_id]
+            extras = _pad_axis(
+                jnp.concatenate([dirs_pe, app_emb], axis=-1),
+                spec.extra_dim, 1)
+        else:
+            extras = _pad_axis(dirs_pe, spec.extra_dim, 1)
         N = rays.shape[0]
 
         k_strat, k_res, k_n1, k_n2 = jax.random.split(key, 4)

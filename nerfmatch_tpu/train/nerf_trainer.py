@@ -100,14 +100,9 @@ class NerfTrainer:
             return self._train_step
         renderer, opt, cnfg_loss = self.renderer, self.opt, self.cnfg_loss
         if use_fused is None:
-            # The fused TRAIN kernel does not thread per-image appearance
-            # embeddings (the fused EVAL path does, via the per-ray extras);
-            # Cambridge-style appearance configs must keep the XLA step or
-            # they would silently train without the embedding.
             use_fused = (bool(getattr(getattr(self.config, "render", None),
                                       "use_fused_train", False))
                          and renderer.fused_eval_supported
-                         and not renderer.cfg.appearance_embedding
                          and not renderer.cfg.out_scr)
 
         fused_render = None
@@ -120,7 +115,7 @@ class NerfTrainer:
         def step(params, opt_state, rays, rgbs, ts, key, mask=None):
             def loss_fn(p):
                 if fused_render is not None:
-                    preds = fused_render(p, rays, key)
+                    preds = fused_render(p, rays, key, ray_id=ts)
                 else:
                     preds = renderer.render_rays(p, rays, key=key, ray_id=ts,
                                                  train=True)

@@ -198,3 +198,116 @@ def test_fused_train_from_rays_matches_classic(setup):
     rgb_c, wt_c = fused_c(w, o8, d8, z_vals, extras, noise_p)
     assert np.abs(np.asarray(rgb_r) - np.asarray(rgb_c)).max() < 1e-6
     assert np.abs(np.asarray(wt_r) - np.asarray(wt_c)).max() < 1e-6
+
+
+def test_fused_train_extras_grad_appearance(setup):
+    """extras_grad: appearance rows riding in extras get gradients that
+    match jax.grad of the XLA path (table gather -> concat -> views branch)."""
+    _, _, z_vals, mean, var, d, dirs_pe, o8, d8, _, noise = setup
+    APP, VOCAB = 16, 4
+    cfg = NerfConfig(layer_num=8, hid_dim=HID, xyz_dim=2 * 3 * F,
+                     dirs_dim=DIRS_DIM, app_dim=APP, use_viewdirs=True,
+                     skips=(4,), stop_layer=3)
+    from nerfmatch_tpu.nerf.model import init_nerf_params as _init
+    params = _init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(VOCAB, APP)) * 0.1, jnp.float32)
+    ray_id = jnp.arange(N_RAYS) % VOCAB
+    spec = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                           samples=S, ray_tile=N_RAYS, feat_layer=3)
+    fused = make_fused_train_render(spec, interpret=True, extras_grad=True)
+    target = jnp.full((N_RAYS, 3), 0.4)
+
+    def xla_loss_app(p):
+        prm, tab = p
+        enc, _ = ipe_embedding(mean, var, F)
+        dirs_b = jnp.broadcast_to(dirs_pe[:, None, :], (N_RAYS, S, DIRS_DIM))
+        app_b = jnp.broadcast_to(tab[ray_id][:, None, :], (N_RAYS, S, APP))
+        raw, _ = nerf_apply(prm, cfg,
+                            jnp.concatenate([enc, dirs_b, app_b], -1),
+                            val=True)
+        raw = raw.at[..., 3].add(noise)
+        out = volume_render(raw[..., :4], z_vals, d, mip=True, white_bg=False)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + 0.1 * jnp.mean(out["weights"] ** 2))
+
+    def ker_loss_app(p):
+        prm, tab = p
+        w = pack_mlp_weights_traced(prm, spec)
+        ex = jnp.pad(jnp.concatenate([dirs_pe, tab[ray_id]], -1),
+                     ((0, 0), (0, 128 - DIRS_DIM - APP)))
+        rgb, weights = fused(w, o8, d8, z_vals, ex, noise)
+        return (jnp.mean((rgb - target) ** 2)
+                + 0.1 * jnp.mean(weights ** 2))
+
+    # Forward parity with app rows present.
+    l_ref = float(xla_loss_app((params, table)))
+    l_ker = float(ker_loss_app((params, table)))
+    assert abs(l_ref - l_ker) < 2e-2 * max(1.0, abs(l_ref))
+
+    g_ref = jax.grad(xla_loss_app)((params, table))[1]
+    g_ker = jax.grad(ker_loss_app)((params, table))[1]
+    a, b = np.asarray(g_ref).ravel(), np.asarray(g_ker).ravel()
+    assert np.linalg.norm(a) > 1e-7  # the table actually matters
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    ratio = np.linalg.norm(b) / (np.linalg.norm(a) + 1e-12)
+    assert cos > 0.98, cos
+    assert 0.8 < ratio < 1.25, ratio
+
+
+def test_fused_train_hierarchical_appearance_interpret():
+    """Two-stage fused train with appearance embeddings: the embedding_a
+    table receives gradient and a few adam steps reduce the loss (the
+    nerf_trainer gate removal relies on this path)."""
+    import optax
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_train import \
+        make_fused_train_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [32, 32]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": True, "white_bg": False, "noise_std": 1.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip",
+                      "appearance_embed": True},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, num_frames=4, stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    train_render = make_fused_train_hierarchical(renderer, interpret=True)
+
+    rng = np.random.default_rng(0)
+    n = 8
+    o = rng.uniform(-0.3, 0.3, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.5), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+    ray_id = jnp.arange(n, dtype=jnp.int32) % 4
+    tgt = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+
+    def loss_fn(p, key):
+        out = train_render(p, rays, key, ray_id=ray_id)
+        return (jnp.mean((out["rgb_fine"] - tgt) ** 2)
+                + 0.5 * jnp.mean((out["rgb_coarse"] - tgt) ** 2))
+
+    opt = optax.adam(1e-2)
+    os_ = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(3):
+        key, k = jax.random.split(key)
+        loss, g = jax.value_and_grad(loss_fn)(params, k)
+        losses.append(float(loss))
+        ga = float(jnp.sum(jnp.abs(g["embedding_a"]["weight"])))
+        assert np.isfinite(ga) and ga > 0, ga
+        up, os_ = opt.update(g, os_)
+        params = optax.apply_updates(params, up)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
