@@ -410,6 +410,17 @@ def timeit(fn, args, iters=ITERS, rounds=3):
 
 def main(variants):
     for v in variants:
+        if v.startswith("blockskip") or v == "blocknoskip":
+            # blockskipNN -> dynamic skip with NN% of tiles saturated;
+            # blocknoskip -> same blocked structure, no skip (overhead).
+            frac = (int(v[len("blockskip"):] or 0) / 100.0
+                    if v != "blocknoskip" else 0.0)
+            raw = make_blockskip(dynamic=(v != "blocknoskip"))
+            fn = jax.jit(lambda *a, _r=raw: sum(jnp.sum(o) for o in _r(*a)))
+            dt = timeit(fn, blockskip_inputs(9216, frac))
+            print(f"{v:>12}: {dt*1e3:8.2f} ms  {9216/dt:10.0f} rays/s(1stage)",
+                  flush=True)
+            continue
         if v == "dispatch":
             x = jnp.zeros((128, 128))
             fn = jax.jit(lambda x: x + 1.0)
@@ -428,6 +439,177 @@ def main(variants):
         rps = batch / dt
         print(f"{v:>9}: {dt*1e3:8.2f} ms  {rps:10.0f} rays/s(1stage)",
               flush=True)
+
+
+
+
+def make_blockskip(ray_tile: int = 16, n_blocks: int = 4, eps: float = 1e-4,
+                   dynamic: bool = True):
+    """Early-termination prototype: the sample axis is processed in
+    ``n_blocks`` z-ordered blocks; once every ray in the tile is saturated
+    (accumulated transmittance < eps), remaining blocks' trunk is skipped
+    under a data-dependent ``pl.when``.  ``dynamic=False`` builds the same
+    blocked structure without the skip (overhead baseline)."""
+    spec = FusedRenderSpec(ray_tile=ray_tile)
+    R = ray_tile
+    Sb = S // n_blocks
+    Tb = R * Sb
+    Sp, Sq, phase = make_spread_matrices(spec)
+    tri_b = jnp.tril(jnp.ones((Sb, Sb), jnp.float32), k=-1).T
+    expand_b = jnp.asarray(np.repeat(np.eye(R, dtype=np.float32), Sb, axis=0))
+
+    names = []
+
+    def kernel(*refs):
+        n_in = 5 + len(names)
+        o_ref, d_ref, z_ref, tmvr_ref, extras_ref = refs[:5]
+        w = dict(zip(names, refs[5:n_in]))
+        rgb_ref, w_out_ref, rgb_scr, logt_scr = refs[n_in:]
+
+        o8, d8 = o_ref[...], d_ref[...]
+
+        def rowmm(a, B):
+            return jnp.dot(a, B, preferred_element_type=jnp.float32)
+
+        def mm(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16), b,
+                           preferred_element_type=jnp.float32)
+
+        xyz = w["_xyz"][...]
+        oS = rowmm(o8 * xyz, w["_Sp"][...])
+        dS = rowmm(d8, w["_Sp"][...])
+        dQ = rowmm(d8 * d8, w["_Sq"][...])
+        nQ = rowmm(xyz - d8 * d8, w["_Sq"][...])
+        E = w["_E"][...]
+        oS_T, dS_T, dQ_T, nQ_T = (rowmm(E, x) for x in (oS, dS, dQ, nQ))
+
+        rgb_scr[...] = jnp.zeros_like(rgb_scr)
+        logt_scr[...] = jnp.zeros_like(logt_scr)
+
+        z = z_ref[...]
+        for j in range(n_blocks):
+            # Block slice of the (pre-permuted block-major) sample inputs.
+            tm = tmvr_ref[j * Tb : (j + 1) * Tb, :]
+            zb = z[:, j * Sb : (j + 1) * Sb + 1]
+            t0b, t1b = zb[:, :-1], zb[:, 1:]
+
+            def block_body(j=j, tm=tm, t0b=t0b, t1b=t1b):
+                # The E-expansion is per-ray broadcast over the block's
+                # Sb samples -> identical for every block; only tm varies.
+                pre = oS_T + tm[:, 0:1] * dS_T + w["_ph"][...]
+                vs = tm[:, 1:2] * dQ_T + tm[:, 2:3] * nQ_T
+                xb = (jnp.exp(-0.5 * vs) * jnp.sin(pre)).astype(jnp.bfloat16)
+                h = jax.nn.relu(mm(xb, w["w0"][...]) + w["b0"][...])
+                for k in range(1, LAYERS):
+                    acc = mm(h, w[f"w{k}"][...])
+                    if k == 4:
+                        acc = acc + mm(xb, w[f"w{k}s"][...])
+                    h = jax.nn.relu(acc + w[f"b{k}"][...])
+                feature = mm(h, w["wf"][...])
+                sigma_raw = mm(h, w["wa_col"][...])[:, 0].reshape(R, Sb)
+                hv = mm(feature, w["wvh"][...])
+                hv = jax.nn.relu(
+                    hv.reshape(R, Sb, -1)
+                    + rowmm(extras_ref[...].astype(jnp.bfloat16),
+                            w["wvx"][...])[:, None, :])
+                rgb = jax.nn.sigmoid(
+                    mm(hv.reshape(Tb, -1), w["wrgb"][...])).reshape(R, Sb, -1)
+
+                sigma = jax.nn.relu(sigma_raw)
+                alpha = 1.0 - jnp.exp(-sigma * (t1b - t0b))
+                log_t = jnp.log(1.0 - alpha + 1e-10)
+                prev = logt_scr[:, 0:1]
+                csum = rowmm(log_t, w["_trib"][...]) + prev
+                weights = alpha * jnp.exp(csum)
+                w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
+                rgb_scr[...] += jnp.sum(weights[:, :, None] * rgb, axis=1)
+                logt_scr[...] = (prev
+                                 + jnp.sum(log_t, axis=1, keepdims=True)
+                                 ) * jnp.ones((R, 128), jnp.float32)
+
+            if j == 0 or not dynamic:
+                block_body()
+            else:
+                w_out_ref[:, j * Sb : (j + 1) * Sb] = jnp.zeros(
+                    (R, Sb), jnp.float32)
+                alive = jnp.max(logt_scr[:, 0]) > np.log(eps)
+                pl.when(alive)(block_body)
+
+        rgb_ref[...] = rgb_scr[...]
+
+    weights = {
+        "_Sp": Sp, "_Sq": Sq, "_ph": phase, "_trib": tri_b, "_E": expand_b,
+        "_xyz": jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32),
+        "w0": jnp.ones((128, HID), jnp.bfloat16) * 0.01,
+        "wf": jnp.ones((HID, HID), jnp.bfloat16) * 0.01,
+        "wa_col": jnp.concatenate([jnp.ones((HID, 1), jnp.bfloat16),
+                                   jnp.zeros((HID, 127), jnp.bfloat16)], 1),
+        "wvh": jnp.ones((HID, 128), jnp.bfloat16) * 0.01,
+        "wvx": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "wrgb": jnp.ones((128, 128), jnp.bfloat16) * 0.01,
+        "w4s": jnp.zeros((128, HID), jnp.bfloat16),
+    }
+    for k in range(LAYERS):
+        weights[f"b{k}"] = jnp.zeros((HID,), jnp.float32)
+        if k:
+            weights[f"w{k}"] = jnp.ones((HID, HID), jnp.bfloat16) * 0.01
+    names.extend(sorted(weights))
+
+    def run(o8, d8, z, tmvr, extras):
+        N = z.shape[0]
+        grid = (N // R,)
+
+        def const_spec(arr):
+            nd = arr.ndim
+            return pl.BlockSpec(arr.shape, lambda i, _n=nd: (0,) * _n,
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * S, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [const_spec(weights[k]) for k in names]
+        out_specs = [
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N, S), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32),
+                            pltpu.VMEM((R, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(o8, d8, z, tmvr, extras, *[weights[k] for k in names])
+
+    return run
+
+
+def blockskip_inputs(batch, saturate_frac: float, ray_tile: int = 16):
+    """Inputs where ``saturate_frac`` of ray TILES saturate in block 0
+    (huge z steps -> alpha ~= 1 per sample)."""
+    rng = np.random.default_rng(0)
+    o8 = jnp.asarray(rng.normal(size=(batch, 8)), jnp.float32)
+    d8 = jnp.asarray(rng.normal(size=(batch, 8)), jnp.float32)
+    z = np.sort(rng.uniform(0.1, 1.5, (batch, S + 1)).astype(np.float32), 1)
+    n_tiles = batch // ray_tile
+    sat = rng.uniform(size=n_tiles) < saturate_frac
+    # Saturating tiles: huge z steps -> alpha ~= 1 every sample.  Others:
+    # microscopic steps -> alpha ~= 0 (the dummy-weight sigma is large
+    # enough that unit-scale z already saturates everything).
+    scale = np.where(np.repeat(sat, ray_tile), 400.0, 1e-4)[:, None]
+    z = jnp.asarray(z * scale)
+    tmvr = jnp.asarray(rng.uniform(0.1, 1.0, (batch * S, 8)), jnp.float32)
+    extras = jnp.asarray(rng.normal(size=(batch, 128)), jnp.float32)
+    return o8, d8, z, tmvr, extras
 
 
 if __name__ == "__main__":

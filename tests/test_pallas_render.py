@@ -290,3 +290,60 @@ def test_from_rays_mode_matches_classic_inputs():
         # extras use the polynomial sine in from_rays mode vs jnp.sin in
         # the XLA-prepped path -> bf16-level differences only.
         assert np.abs(a - b).max() / scale < 2e-3, (k, np.abs(a - b).max())
+
+
+def test_blocked_early_term_parity():
+    """Sample-blocked kernel: (a) eps=0 blocked == unblocked to fp tolerance;
+    (b) eps=1e-4 skipping on an opaque scene changes outputs by < the bf16
+    noise floor (8e-4 rgb) while tail weights become exact zeros."""
+    import dataclasses
+    from nerfmatch_tpu.nerf.model import NerfConfig, init_nerf_params
+    from nerfmatch_tpu.ops.pallas.render_kernel import (
+        FusedRenderSpec, make_fused_render)
+    from nerfmatch_tpu.ops.pallas.render_train import pack_mlp_weights_traced
+
+    F, HID, S, R = 15, 256, 128, 8
+    cfg = NerfConfig(layer_num=8, hid_dim=HID, xyz_dim=2 * 3 * F,
+                     dirs_dim=2 * 3 * 4 + 3, use_viewdirs=True, skips=(4,),
+                     stop_layer=3)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    # Opaque scene: a large positive alpha bias saturates rays early.
+    params["alpha_linear"]["bias"] = (
+        params["alpha_linear"]["bias"] + 60.0)
+
+    rng = np.random.default_rng(4)
+    n = 16
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, S + 1)
+    z = rays[:, 6:7] * (1.0 - t) + rays[:, 7:8] * t
+
+    base_spec = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                                samples=S, ray_tile=R, feat_layer=3,
+                                from_rays=True, dirs_freqs=4)
+    w = pack_mlp_weights_traced(params, base_spec)
+
+    ref = make_fused_render(base_spec, interpret=True)(w, rays, z)
+    blk = make_fused_render(
+        dataclasses.replace(base_spec, sample_blocks=4),
+        interpret=True)(w, rays, z)
+    et = make_fused_render(
+        dataclasses.replace(base_spec, sample_blocks=4,
+                            early_term_eps=1e-4),
+        interpret=True)(w, rays, z)
+
+    for k in ("rgb", "depth", "acc", "weights", "feat", "pts"):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        assert np.abs(a - b).max() < 1e-5, (k, np.abs(a - b).max())
+        c = np.asarray(et[k])
+        assert np.abs(a - c).max() < 8e-4, (k, np.abs(a - c).max())
+
+    # The opaque scene must actually exercise the skip: saturated tail
+    # weights are exact zeros in the early-terminated render.
+    wt = np.asarray(et["weights"])
+    assert (wt[:, 96:] == 0.0).all()
+    assert not (np.asarray(ref["weights"])[:, 96:] == 0.0).all()
