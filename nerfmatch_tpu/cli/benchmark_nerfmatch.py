@@ -165,6 +165,9 @@ def build_parser():
     p.add_argument("--point_shard", action="store_true",
                    help="Shard the point axis of coarse matching over the "
                         "device mesh (merged multi-pair point clouds).")
+    p.add_argument("--pair_shard", action="store_true",
+                   help="Shard the pair axis of multi-pair matching over "
+                        "the device mesh (separate top-k pairs).")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--seeds", type=int, nargs="*", default=[])
     p.add_argument("--feats", type=str, nargs="*", default=[])

@@ -134,17 +134,22 @@ class NeRFMatchEvaluator:
                               .replace(".ckpt", "_eval_results"))
         self.timer = defaultdict(list)
         self.max_matches = int(getattr(config, "max_matches", 2048))
-        # Point-axis-sharded coarse matching over a multi-chip mesh
-        # (--point_shard): for merged multi-pair point clouds the (M, N)
-        # dual-softmax dominates; shard N over the data axis (see
-        # NeRFMatcherCoarse.eval_match_point_sharded).
+        # Mesh-sharded matching over a multi-chip mesh:
+        # --point_shard: merged multi-pair point clouds — shard the POINT
+        #   axis of the (M, N) dual-softmax (eval_match_point_sharded);
+        # --pair_shard: separate top-k pairs — shard the PAIR axis of
+        #   forward_multi_pair (parallel/pair_sharding.py).
         self.point_shard_mesh = None
-        if bool(getattr(config, "point_shard", False)) and self.coarse_only:
+        self.pair_shard_mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1:
             from ..parallel.mesh import make_mesh
 
-            n_dev = len(jax.devices())
-            if n_dev > 1:
+            if bool(getattr(config, "point_shard", False)) and \
+                    self.coarse_only:
                 self.point_shard_mesh = make_mesh(data=n_dev)
+            if bool(getattr(config, "pair_shard", False)):
+                self.pair_shard_mesh = make_mesh(data=n_dev)
 
     # ------------------------------------------------------------------
     def _extract_matches_host(self, batch, mutual, match_thres):
@@ -169,7 +174,8 @@ class NeRFMatchEvaluator:
             outs = self.model.eval_match(
                 self.params, img, pt_feat, jnp.asarray(pt3d),
                 im_mask=im_mask, pt_mask=pt_mask, mutual=mutual,
-                match_thres=match_thres, top_k=self.max_matches)
+                match_thres=match_thres, top_k=self.max_matches,
+                pair_mesh=self.pair_shard_mesh)
             outs = jax.device_get(outs)
             use_fine = "expec_f" in outs
             all2d, all3d = [], []

@@ -301,13 +301,16 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
                            pt_mask=None, mutual: bool = False,
-                           match_thres: float = 0.0, fmap=None):
+                           match_thres: float = 0.0, fmap=None,
+                           pair_mesh=None):
         """Top-k retrieval pairs, device-resident (replaces the reference's
         per-pair host loop, ``nerfmatch_evaluator.py:150-230``): the two-scale
         image features are extracted ONCE, then the per-pair point path +
         coarse matching + dense fine stage run under ``lax.map`` over the
         pair axis (bounded memory).  pt tensors carry (B, K, N, .); returns
-        stacked dense matches (K, B, M) + ``expec_f`` (K, B*M, 3)."""
+        stacked dense matches (K, B, M) + ``expec_f`` (K, B*M, 3).  With
+        ``pair_mesh`` the pair axis is sharded over the mesh's data axis
+        (parallel/pair_sharding.py)."""
         cfg = self.cfg
         im_cfeat0, fmap_f = (self.im_feat_from_fmap(params, fmap)
                              if fmap is not None
@@ -338,7 +341,12 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         pt3d_k = jnp.swapaxes(pt3d, 0, 1)
         pt_mask_k = (jnp.swapaxes(pt_mask, 0, 1) if pt_mask is not None
                      else jnp.ones(pt_feat_k.shape[:3], jnp.float32))
-        return jax.lax.map(one_pair, (pt_feat_k, pt3d_k, pt_mask_k))
+        args = (pt_feat_k, pt3d_k, pt_mask_k)
+        if pair_mesh is not None and pair_mesh.devices.size > 1:
+            from ..parallel.pair_sharding import map_pairs_sharded
+
+            return map_pairs_sharded(pair_mesh, one_pair, args)
+        return jax.lax.map(one_pair, args)
 
     def fine_coords(self, expec_f, mpt2d_c):
         """Window-normalized offsets -> image-resolution fine coords."""

@@ -251,11 +251,13 @@ class NeRFMatcherCoarse:
 
     def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
                            pt_mask=None, mutual: bool = False,
-                           match_thres: float = 0.0, fmap=None):
+                           match_thres: float = 0.0, fmap=None,
+                           pair_mesh=None):
         """Top-k retrieval pairs: pt tensors carry an extra pair axis
         (B, K, N, .); matching runs once per pair against the same image via
         lax.map over K (bounded memory), returning stacked dense matches
-        (K, B, M)."""
+        (K, B, M).  With ``pair_mesh`` the pair axis is sharded over the
+        mesh's data axis (parallel/pair_sharding.py)."""
         def one_pair(args):
             ipt_feat, ipt3d, ipt_mask = args
             m = self.forward_match(params, img, ipt_feat, ipt3d, im_mask,
@@ -267,14 +269,19 @@ class NeRFMatcherCoarse:
         pt3d_k = jnp.swapaxes(pt3d, 0, 1)
         pt_mask_k = (jnp.swapaxes(pt_mask, 0, 1) if pt_mask is not None
                      else jnp.ones(pt_feat_k.shape[:3], jnp.float32))
-        return jax.lax.map(one_pair, (pt_feat_k, pt3d_k, pt_mask_k))
+        args = (pt_feat_k, pt3d_k, pt_mask_k)
+        if pair_mesh is not None and pair_mesh.devices.size > 1:
+            from ..parallel.pair_sharding import map_pairs_sharded
+
+            return map_pairs_sharded(pair_mesh, one_pair, args)
+        return jax.lax.map(one_pair, args)
 
     # ------------------------------------------------------------------
     # Jitted split-program eval entries
     # ------------------------------------------------------------------
 
     def _eval_jit(self, kind: str, mutual: bool, match_thres: float,
-                  top_k: int | None = None):
+                  top_k: int | None = None, pair_mesh=None):
         """Cached jits for the two-program eval forward: the conv trunk in
         one program, everything after it in another traced inside
         ``fused_attention_scope`` (Pallas attention; no convolutions in the
@@ -284,7 +291,7 @@ class NeRFMatcherCoarse:
 
         cache = self.__dict__.setdefault("_eval_jit_cache", {})
         key = ((kind,) if kind in ("backbone", "feats")
-               else (kind, mutual, float(match_thres), top_k))
+               else (kind, mutual, float(match_thres), top_k, pair_mesh))
         if key not in cache:
             if kind == "backbone":
                 cache[key] = jax.jit(self.im_backbone)
@@ -303,10 +310,12 @@ class NeRFMatcherCoarse:
                 keep = ("j_ids", "mconf", "valid", "expec_f")
 
                 def tail(params, fmap, pt_feat, pt3d, im_mask, pt_mask):
+                    kw = ({"pair_mesh": pair_mesh} if kind == "multi"
+                          else {})
                     with fused_attention_scope(True):
                         out = fwd(params, None, pt_feat, pt3d, im_mask,
                                   pt_mask, mutual=mutual,
-                                  match_thres=match_thres, fmap=fmap)
+                                  match_thres=match_thres, fmap=fmap, **kw)
                     # Only what inference consumes: returning the dense
                     # (B, M, N) conf matrix would move ~50 MB per query.
                     res = {k: out[k] for k in keep if k in out}
@@ -324,12 +333,14 @@ class NeRFMatcherCoarse:
 
     def eval_match(self, params, img, pt_feat, pt3d, im_mask=None,
                    pt_mask=None, mutual: bool = False,
-                   match_thres: float = 0.0, top_k: int | None = None):
+                   match_thres: float = 0.0, top_k: int | None = None,
+                   pair_mesh=None):
         """Inference forward (same outputs as :meth:`forward_match`), split
         into two jitted programs; multi-pair inputs (pt3d (B, K, N, 3))
-        route through :meth:`forward_multi_pair`.  With ``top_k``, the
-        fixed-length high-confidence match lists (``dense_to_match_lists``)
-        are computed on device and returned under ``"lists"``.
+        route through :meth:`forward_multi_pair` (with ``pair_mesh``, pairs
+        shard over the mesh's data axis).  With ``top_k``, the fixed-length
+        high-confidence match lists (``dense_to_match_lists``) are computed
+        on device and returned under ``"lists"``.
 
         Call from host code, NOT inside an outer jit: nesting would inline
         both halves into one program, putting the convolutions and the
@@ -337,7 +348,8 @@ class NeRFMatcherCoarse:
         for why that compiles ~4-5x slower)."""
         fmap = self._eval_jit("backbone", mutual, match_thres)(params, img)
         kind = "multi" if pt3d.ndim == 4 else "single"
-        return self._eval_jit(kind, mutual, match_thres, top_k)(
+        return self._eval_jit(kind, mutual, match_thres, top_k,
+                              pair_mesh=pair_mesh)(
             params, fmap, pt_feat, pt3d, im_mask, pt_mask)
 
     def eval_match_point_sharded(self, params, mesh, img, pt_feat, pt3d,

@@ -256,3 +256,44 @@ def test_point_sharded_eval_match_equals_dense():
     for k in ("i_ids", "j_ids", "valid"):
         assert np.array_equal(np.asarray(got["lists"][k])[lv],
                               np.asarray(ref["lists"][k])[lv]), k
+
+
+def test_pair_sharded_multi_pair_equals_lax_map():
+    """forward_multi_pair with pair_mesh == the lax.map path, including the
+    fine expec_f, with K=5 pairs padded onto the 8-device mesh."""
+    from nerfmatch_tpu.models.matcher_c2f import (
+        C2FMatcherConfig, NeRFMatcherMS)
+
+    cfg = C2FMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        ffeat_dim=16, im_pe=True, im_sa=1, im_sa_type="share", pt_sa=1,
+        pt_sa_type="full", pt_pe=True, coarse_layers=1, fine_sa=1,
+        fsa_type="full", win_sz=5, cat_c_feat=True,
+        fused_attention_train=False)
+    model = NeRFMatcherMS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    bs, hw, K, n = 1, 32, 5, 24
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, K, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, K, n, 3)), jnp.float32)
+    pt_mask = jnp.asarray(rng.uniform(size=(bs, K, n)) > 0.1, jnp.float32)
+
+    ref = model.eval_match(params, img, pt_feat, pt3d, pt_mask=pt_mask,
+                           mutual=True, top_k=16)
+    mesh = make_mesh(data=8)
+    got = model.eval_match(params, img, pt_feat, pt3d, pt_mask=pt_mask,
+                           mutual=True, top_k=16, pair_mesh=mesh)
+
+    assert np.array_equal(np.asarray(got["valid"]), np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    assert np.array_equal(np.asarray(got["j_ids"])[v],
+                          np.asarray(ref["j_ids"])[v])
+    assert np.allclose(np.asarray(got["mconf"]), np.asarray(ref["mconf"]),
+                       atol=1e-6)
+    assert np.allclose(np.asarray(got["expec_f"]), np.asarray(ref["expec_f"]),
+                       atol=1e-5)
+    for k in ("i_ids", "j_ids", "valid"):
+        assert np.array_equal(np.asarray(got["lists"][k]),
+                              np.asarray(ref["lists"][k])), k
