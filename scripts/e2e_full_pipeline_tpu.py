@@ -229,29 +229,42 @@ def main(root=None):
     t_match = time.time() - t0
     print(f"[3] matcher trained in {t_match:.0f}s")
 
-    # ---- stage 4: localization over held-out queries ----
+    # ---- stage 4: localization over held-out queries, three protocols:
+    # single-shot, iters=2 (re-render at the estimate + re-match), and
+    # iters=2 + iNeRF gradient refinement — the reference's full
+    # refinement ladder (model_eval/README.md) on real on-chip features.
+    from argparse import Namespace
+
     ev_cfg = matcher_cfg(root, cache_dir, root / "out_match")
     mev = NeRFMatchEvaluator(ev_cfg, params=mparams)
     ds = NeRFMatchPair(ev_cfg.data, split="test")
-    r_errs, t_errs, ns = [], [], []
-    for i in range(len(ds)):
-        batch = _collate([ds[i]])
-        c2w_est, r_err, t_err, n = mev.eval_match_pose(
-            batch, match_oracle=False, mutual=True, rthres=6.0,
-            solver="colmap")
-        r_errs.append(r_err)
-        t_errs.append(t_err)
-        ns.append(n)
-        print(f"  query {i}: R_err={r_err:.2f}deg t_err={t_err:.3f} "
-              f"matches={n}")
-    r_med = float(np.median(r_errs))
-    t_med = float(np.median(t_errs))
+    inerf_conf = Namespace(num_optim=3, lrate=2e-3, lrdecay=0.6,
+                           eval_pose=True, ds=DS, use_match_loss=False)
+    protos = [("single", dict(iters=1)),
+              ("iters2", dict(iters=2)),
+              ("iters2+inerf", dict(iters=2, inerf_conf=inerf_conf))]
+    meds = {}
+    for name, kw in protos:
+        r_errs, t_errs, ns = [], [], []
+        for i in range(len(ds)):
+            batch = _collate([ds[i]])
+            out = mev.eval_batch(batch, renderer=renderer,
+                                 renderer_params=params, mutual=True,
+                                 rthres=6.0, solver="colmap", **kw)
+            r_errs.append(out["R_err"][0])
+            t_errs.append(out["t_err"][0])
+            ns.append(out["num_matches"][0])
+        meds[name] = (float(np.median(r_errs)), float(np.median(t_errs)))
+        print(f"  [{name:>13}] median R={meds[name][0]:.2f}deg "
+              f"t={meds[name][1]:.3f} matches={int(np.median(ns))}")
+    r_med, t_med = meds["single"]
     print("== e2e summary ==")
     print(f"nerf {t_nerf:.0f}s | cache {t_cache:.0f}s | matcher "
           f"{t_match:.0f}s | total {time.time()-t_all:.0f}s")
-    print(f"median pose error over {len(ds)} queries: "
-          f"R={r_med:.2f}deg t={t_med:.3f} (scene units, cam radius "
-          f"{CAM_R}); median matches {int(np.median(ns))}")
+    print(f"median pose error over {len(ds)} queries (scene units, cam "
+          f"radius {CAM_R}): "
+          + " | ".join(f"{k}: R={v[0]:.2f}deg t={v[1]:.3f}"
+                       for k, v in meds.items()))
     assert np.isfinite(r_med) and r_med < 10.0, r_med
     print("E2E FULL PIPELINE OK")
 
