@@ -252,3 +252,49 @@ def latest_checkpoint(ckpt_dir, name: str = "ckpt"):
     ckpts = sorted((p for p in ckpt_dir.glob(f"{name}_*") if p.is_dir()),
                    key=lambda p: int(p.name.rsplit("_", 1)[1]))
     return ckpts[-1] if ckpts else None
+
+
+def load_native_params(path):
+    """Raw params pytree from a native checkpoint dir (no template needed —
+    StandardCheckpointer restores the saved dict/list structure as-is)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as saver:
+        return saver.restore(Path(path).absolute() / "params")
+
+
+def graft_params(dst, src):
+    """Copy every ``src`` leaf into ``dst`` where the same path exists with
+    a matching shape (the native-checkpoint analogue of the reference's
+    strict=False cross-stage surgery, ``nerfmatch_c2f_trainer.py:45-74`` —
+    e.g. warm-starting the C2F matcher from a trained coarse run).
+
+    Returns ``(new_dst, grafted_paths, missing_paths)``; ``missing`` lists
+    dst paths absent from src (stay at init) — src-only paths are ignored.
+    """
+    grafted, missing = [], []
+
+    def rec(d, s, path):
+        if isinstance(d, dict):
+            if not isinstance(s, dict):
+                missing.append(path)
+                return d
+            return {k: (rec(v, s[k], path + (k,)) if k in s
+                        else (missing.append(path + (k,)) or v))
+                    for k, v in d.items()}
+        if isinstance(d, (list, tuple)):
+            if not isinstance(s, (list, tuple)):
+                missing.append(path)
+                return d
+            out = [rec(v, s[i], path + (i,)) if i < len(s)
+                   else (missing.append(path + (i,)) or v)
+                   for i, v in enumerate(d)]
+            return type(d)(out)
+        if hasattr(d, "shape") and hasattr(s, "shape") \
+                and tuple(d.shape) == tuple(np.shape(s)):
+            grafted.append(path)
+            return jax.numpy.asarray(s, d.dtype)
+        missing.append(path)
+        return d
+
+    return rec(dst, src, ()), grafted, missing

@@ -527,6 +527,17 @@ def _load_pretrained(model, params, model_conf):
     ckpt = c2f_ckpt or finetune or coarse_ckpt
     if not ckpt or not Path(ckpt).exists():
         return params
+    if Path(ckpt).is_dir():
+        # Native orbax checkpoint (this framework's own trainers): graft
+        # every same-path same-shape leaf — e.g. warm-starting C2F from a
+        # trained coarse run (the reference's strict=False surgery).
+        from .checkpoint import graft_params, load_native_params
+
+        new_params, grafted, missing = graft_params(
+            params, load_native_params(ckpt))
+        logger.info(f"Grafted {len(grafted)} leaves from native {ckpt}; "
+                    f"{len(missing)} stay at init")
+        return new_params
     state, _ = load_torch_state_dict(ckpt)
     # MS-saved ckpts nest timm under backbone.model (MetaFormer_MS wrapper);
     # coarse-saved ckpts store backbone.* directly — the reference's

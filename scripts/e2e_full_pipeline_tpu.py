@@ -162,7 +162,7 @@ def nerf_config(root, odir, epochs=10):
     })
 
 
-def matcher_cfg(root, cache_dir, odir, epochs=40):
+def matcher_cfg(root, cache_dir, odir, epochs=40, c2f=False):
     return dict2namespace({
         "data": {"dataset": "NeRFMatchPair", "data_dir": str(root),
                  "scenes": ["toy"], "scene": "toy",
@@ -175,7 +175,15 @@ def matcher_cfg(root, cache_dir, odir, epochs=40):
                   "pt_dim": 256, "im_pe": True, "im_sa": 1,
                   "im_sa_type": "share", "pt_sa": 1, "pt_sa_type": "full",
                   "pt_pe": True, "coarse_layers": 1, "temp_type": "mul",
-                  "rthres": 6},
+                  "rthres": 6,
+                  # Fine stage (C2F): 5x5 windows of the 1/2-scale map +
+                  # dsnt subpixel regression — the reference's answer to
+                  # the ds=8 grid quantization that floors the coarse-only
+                  # pose error.
+                  **({"ffeat_dim": 32, "fine_sa": 1, "fsa_type": "full",
+                      "win_sz": 5, "cat_c_feat": True,
+                      "fine_loss": "match", "coarse_percent": 0.3,
+                      "coarse_dthres": 20} if c2f else {})},
         "optim": {"optimizer": "adam", "adapt_lr": True, "clr": 2e-3,
                   "cbs": 4, "weight_decay": 0.0, "lr_scheduler": "cosine"},
         "exp": {"seed": 2, "odir": str(odir), "prefix": "e2e",
@@ -223,11 +231,24 @@ def main(root=None):
     print(f"[2] cached scene points in {t_cache:.0f}s -> {cache_dir}")
 
     # ---- stage 3: matcher training on the cached NeRF features ----
+    from nerfmatch_tpu.train.matcher_trainer import train_c2f
+
     t0 = time.time()
     mcfg = matcher_cfg(root, cache_dir, root / "out_match")
     out_mcfg, mparams = train_coarse(mcfg)
+    from nerfmatch_tpu.train.checkpoint import latest_checkpoint
+    from nerfmatch_tpu.train.matcher_trainer import init_config_odir
+
+    coarse_best = latest_checkpoint(
+        init_config_odir(out_mcfg, coarse=True) / "checkpoints",
+        name="best")
+    ccfg = matcher_cfg(root, cache_dir, root / "out_match_c2f", c2f=True)
+    # Reference protocol: C2F warm-starts from the trained coarse matcher
+    # (init_pretrained_coarse_matcher) — here via the native-ckpt graft.
+    ccfg.model.coarse_ckpt = str(coarse_best)
+    _, cparams = train_c2f(ccfg)
     t_match = time.time() - t0
-    print(f"[3] matcher trained in {t_match:.0f}s")
+    print(f"[3] matchers trained in {t_match:.0f}s (coarse + c2f)")
 
     # ---- stage 4: localization over held-out queries, three protocols:
     # single-shot, iters=2 (re-render at the estimate + re-match), and
@@ -235,22 +256,27 @@ def main(root=None):
     # refinement ladder (model_eval/README.md) on real on-chip features.
     from argparse import Namespace
 
+    mev_c2f = NeRFMatchEvaluator(
+        matcher_cfg(root, cache_dir, root / "out_match_c2f", c2f=True),
+        params=cparams)
     ev_cfg = matcher_cfg(root, cache_dir, root / "out_match")
     mev = NeRFMatchEvaluator(ev_cfg, params=mparams)
     ds = NeRFMatchPair(ev_cfg.data, split="test")
     inerf_conf = Namespace(num_optim=3, lrate=2e-3, lrdecay=0.6,
                            eval_pose=True, ds=DS, use_match_loss=False)
     protos = [("single", dict(iters=1)),
+              ("c2f-fine", dict(iters=1, _ev=mev_c2f)),
               ("iters2", dict(iters=2)),
               ("iters2+inerf", dict(iters=2, inerf_conf=inerf_conf))]
     meds = {}
     for name, kw in protos:
         r_errs, t_errs, ns = [], [], []
+        use_ev = kw.pop("_ev", mev)
         for i in range(len(ds)):
             batch = _collate([ds[i]])
-            out = mev.eval_batch(batch, renderer=renderer,
-                                 renderer_params=params, mutual=True,
-                                 rthres=6.0, solver="colmap", **kw)
+            out = use_ev.eval_batch(batch, renderer=renderer,
+                                    renderer_params=params, mutual=True,
+                                    rthres=6.0, solver="colmap", **kw)
             r_errs.append(out["R_err"][0])
             t_errs.append(out["t_err"][0])
             ns.append(out["num_matches"][0])

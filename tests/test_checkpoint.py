@@ -296,3 +296,46 @@ def test_coarse_to_c2f_warm_start_key_surgery(tmp_path):
     assert float(out2["temperature"]) == pytest.approx(7.0)
     assert np.allclose(np.asarray(out2["backbone"]["stem"]["conv"]["weight"]),
                        stem_w * 2, atol=1e-6)
+
+
+def test_native_coarse_to_c2f_graft(tmp_path):
+    """Warm-starting the C2F matcher from a NATIVE (orbax) coarse
+    checkpoint dir: shared subtrees copy over, fine-stage leaves stay at
+    init (the reference's strict=False cross-stage surgery for this
+    framework's own checkpoints)."""
+    from argparse import Namespace
+
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.models.matcher_c2f import (
+        C2FMatcherConfig, NeRFMatcherMS)
+    from nerfmatch_tpu.train.checkpoint import save_checkpoint
+    from nerfmatch_tpu.train.matcher_trainer import _load_pretrained
+
+    kw = dict(backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+              im_pe=True, im_sa=1, im_sa_type="share", pt_sa=0,
+              pt_sa_type=None, pt_pe=False, coarse_layers=1)
+    coarse = NeRFMatcherCoarse(CoarseMatcherConfig(**kw))
+    cparams = coarse.init_params(jax.random.PRNGKey(7))
+    save_checkpoint(tmp_path, 3, cparams, name="best")
+
+    ms = NeRFMatcherMS(C2FMatcherConfig(**kw, ffeat_dim=16, fine_sa=1,
+                                        fsa_type="full", win_sz=5,
+                                        cat_c_feat=True))
+    init = ms.init_params(jax.random.PRNGKey(0))
+    out = _load_pretrained(ms, init, Namespace(
+        coarse_ckpt=str(tmp_path / "best_3"), c2f_ckpt=None, finetune=None))
+
+    # Shared leaves match the coarse run exactly.
+    assert np.allclose(np.asarray(out["temperature"]),
+                       np.asarray(cparams["temperature"]))
+    a = np.asarray(jax.tree_util.tree_leaves(out["coarse_former"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(cparams["coarse_former"])[0])
+    assert np.allclose(a, b)
+    bb_new = np.asarray(jax.tree_util.tree_leaves(out["backbone"])[0])
+    bb_old = np.asarray(jax.tree_util.tree_leaves(cparams["backbone"])[0])
+    assert np.allclose(bb_new, bb_old)
+    # Fine-stage leaves exist and stayed at their init values.
+    fi = np.asarray(jax.tree_util.tree_leaves(init["fine_sa"])[0])
+    fo = np.asarray(jax.tree_util.tree_leaves(out["fine_sa"])[0])
+    assert np.allclose(fi, fo)
