@@ -212,7 +212,9 @@ def main(root=None):
 
     # ---- stage 1: NeRF training (production dims, fused train path) ----
     t0 = time.time()
-    ncfg = nerf_config(root, root / "out_nerf")
+    import os
+    ncfg = nerf_config(root, root / "out_nerf",
+                       epochs=int(os.environ.get("E2E_NERF_EPOCHS", 10)))
     out_cfg, params = nerf_trainer.train(ncfg)
     t_nerf = time.time() - t0
     print(f"[1] NeRF trained in {t_nerf:.0f}s")
