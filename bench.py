@@ -9,7 +9,7 @@ schedule).
 
 Since round 3 the weights are a TRAINED scene (the in-repo synthetic
 sphere checkpoint ``pretrained/synthetic_sphere_nerf.npz``, fit on-chip by
-``scripts/train_bench_scene.py``; PSNR 24.3 dB on the held-out bench view)
+``scripts/train_bench_scene.py``; PSNR 25.7 dB on the held-out bench view)
 and the rays come from a held-out camera of that scene — production
 renders trained scenes, and a random-init MLP's near-uniform transparent
 density is not the production density profile.  Measured same-chip delta:

@@ -74,7 +74,7 @@ def gt_colors(rays):
     return rgb.astype(np.float32), hit
 
 
-def main(steps=400, batch=8192, lr=2e-3, seed=0):
+def main(steps=3000, batch=8192, lr=2e-3, seed=0):
     from nerfmatch_tpu.ops.pallas.render_train import \
         make_fused_train_hierarchical
 
