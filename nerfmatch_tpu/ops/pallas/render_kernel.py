@@ -700,7 +700,7 @@ def prepare_ray_inputs(rays):
 
 
 def make_fused_hierarchical(renderer, interpret: bool = False,
-                            ray_tile: int = 16, coarse_rgb: bool = False,
+                            ray_tile: int = 32, coarse_rgb: bool = False,
                             sample_blocks: int = 4,
                             early_term_eps: float = 0.0):
     """Fused two-stage (coarse->resample->fine) eval render.
@@ -708,6 +708,12 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     ``sample_blocks``: both stages process the sample axis in z-ordered
     blocks — a ~5% scheduling win on v5e with outputs identical to the
     unblocked kernel (2e-9 measured on chip).
+
+    ``ray_tile=32`` with 4 sample blocks puts each trunk matmul at
+    M = 32*32 = 1024 rows — the measured v5e sweet spot (23.5 ms vs
+    24.6 at M=512 and 26.9 at M=1536 for the 9216-ray bench batch;
+    outputs bit-identical across ray_tile at fixed sample_blocks, since
+    the z-block reduction order is unchanged).
 
     ``early_term_eps`` > 0 additionally skips the trunk of blocks where
     every ray in the tile is already opaque (transmittance < eps).
