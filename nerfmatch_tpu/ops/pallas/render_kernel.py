@@ -115,6 +115,38 @@ class FusedRenderSpec:
                                  # are < eps; outputs get exact zeros).
 
 
+def _split2cat(x, axis):
+    """Split-2 operand prep: concat([hi, lo], axis) with hi = bf16-rounded
+    x and lo the residual.  Paired with a K-doubled exact partner matrix
+    ([E | E], [[Sp], [Sp]], [[tri], [tri]], ...), a single DEFAULT
+    (one-bf16-pass) matmul then computes E @ hi + E @ lo — f32-accurate
+    (measured 7.5e-6 max relative vs 3.8e-3 for a plain DEFAULT pass on a
+    (1024, 32) @ (32, 128) expansion) at zero extra MXU cost, because the
+    doubled contraction (K 32 -> 64 or 12 -> 24) still fits one 128-wide
+    MXU pass.  Requires the partner matrix to be exactly
+    bf16-representable (one-hots, 0/1 triangles, power-of-two spreads).
+    Mosaic's only alternatives: DEFAULT (4e-3 relative — visible phase
+    noise at mid IPE frequencies) or HIGHEST (6-pass, measured +3.8 ms
+    per 9216-ray batch over these dots)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.concatenate([hi, x - hi], axis=axis)
+
+
+def _mm_f32x2(a, b, split_b=False):
+    """One-MXU-pass f32-accurate dot against a K-doubled exact partner.
+
+    ``split_b=False``: ``a`` is the inexact operand (hi/lo split in-kernel
+    via ``_split2cat``); ``b`` must be the PRE-DOUBLED partner ``[[P], [P]]``
+    (the ``*2``-suffixed consts).  ``split_b=True``: ``b`` is inexact and
+    ``a`` must be the pre-doubled partner ``[P | P]`` (``_E2``).  Partners
+    are doubled at trace time rather than concatenated in-kernel so Mosaic
+    never has to relayout a concat feeding an MXU operand."""
+    if split_b:
+        return jnp.dot(a, _split2cat(b, 0),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(_split2cat(a, 1), b, preferred_element_type=jnp.float32)
+
+
 def _pad_axis(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -221,17 +253,43 @@ def make_ray_matrices(spec: FusedRenderSpec):
     for t in range(Tb):
         M0[t, t % Sb] = 1.0
         M1[t, t % Sb + 1] = 1.0
+    # Moment-extraction masks (blocked path): the Gaussian cone moments
+    # (t_mean | t_var | r_var) are computed at the cheap (R, Sb) layout
+    # (a (R, Sb) op touches R*Sb/1024 vregs vs Tb/8 for ANY (Tb, 1)- or
+    # (Tb, 128)-shaped op — Mosaic lays (Tb, 1) as one lane of a full
+    # vreg row, so narrow columns cost full-width), packed to (R, 3*Sb),
+    # E-expanded by one matmul, and pulled into (Tb, 1) columns with one
+    # masked lane-reduce per moment.
+    Mt = np.zeros((Tb, 3 * Sb), np.float32)
+    Mv = np.zeros((Tb, 3 * Sb), np.float32)
+    Mr = np.zeros((Tb, 3 * Sb), np.float32)
+    for t in range(Tb):
+        Mt[t, t % Sb] = 1.0
+        Mv[t, Sb + t % Sb] = 1.0
+        Mr[t, 2 * Sb + t % Sb] = 1.0
     j = jnp.asarray
     out = {"_SpO": j(SpO), "_SpV": j(SpV), "_SqV": j(SqV), "_sqrow": j(sqrow),
            "_Pd": j(Pd), "_phd": j(phase_d), "_trg": j(trig),
            "_SelRaw": j(SelRaw), "_SelO8": j(SelO8), "_SelV8": j(SelV8),
-           "_M0": j(M0), "_M1": j(M1)}
+           "_M0": j(M0), "_M1": j(M1),
+           "_Mt": j(Mt), "_Mv": j(Mv), "_Mr": j(Mr)}
+    if spec.sample_blocks > 1:
+        # K-doubled exact partners for the split-2 dots (_mm_f32x2): the
+        # inexact operand is hi/lo split in-kernel; its partner is doubled
+        # HERE so Mosaic never concats an MXU operand.  All of these are
+        # exactly bf16-representable (one-hots / power-of-two spreads).
+        dbl = lambda M: j(np.concatenate([M, M], axis=0))
+        out.update({"_SpO2": dbl(SpO), "_SpV2": dbl(SpV), "_Pd2": dbl(Pd),
+                    "_SelRaw2": dbl(SelRaw), "_SelO82": dbl(SelO8),
+                    "_SelV82": dbl(SelV8)})
     if spec.app_dim:
         SelApp = np.zeros((spec.app_dim, 128), np.float32)
         off = 2 * 3 * Fd + 3
         for i in range(spec.app_dim):
             SelApp[i, off + i] = 1.0
         out["_SelApp"] = j(SelApp)
+        if spec.sample_blocks > 1:
+            out["_SelApp2"] = j(np.concatenate([SelApp, SelApp], axis=0))
     return out
 
 
@@ -267,6 +325,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     # lane<->sublane relayouts ((R,S)[:, :, None]-style broadcasts).
     expand = (np.repeat(np.eye(R, dtype=np.float32), Sb, axis=0))
     consts = {"_phase": phase, "_tri": tri_excl, "_E": jnp.asarray(expand)}
+    if SB > 1:
+        # K-doubled exact partners for the split-2 dots (_mm_f32x2).
+        consts["_E2"] = jnp.asarray(np.concatenate([expand, expand], axis=1))
+        consts["_tri2"] = jnp.concatenate([tri_excl, tri_excl], axis=0)
     if spec.from_rays:
         consts.update(make_ray_matrices(spec))
         n_fixed = 2 + (1 if spec.app_dim else 0)
@@ -300,23 +362,28 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         app = refs[2][...] if spec.app_dim else None
 
         # Per-ray spreads + E-expansion: shared by every block (all
-        # per-sample variation enters through the z fenceposts).
+        # per-sample variation enters through the z fenceposts).  The
+        # sin-phase chain (oS, dS and their expansions) uses the split-2
+        # dot: a DEFAULT bf16 pass would put 4e-3 relative noise on
+        # phases that sin() evaluates at mid IPE frequencies (~1 rad at
+        # f=8).  Variance rows (dQ) keep DEFAULT — 4e-3 relative on a
+        # damping exponent is harmless.
         E = wrefs["_E"][...]                      # (Tb, R)
-        oS = rowmm(rays, wrefs["_SpO"][...])
-        dS = rowmm(rays, wrefs["_SpV"][...])
+        E2 = wrefs["_E2"][...]                    # (Tb, 2R) = [E | E]
+        oS = _mm_f32x2(rays, wrefs["_SpO2"][...])
+        dS = _mm_f32x2(rays, wrefs["_SpV2"][...])
         dQ = rowmm(rays * rays, wrefs["_SqV"][...])
         r2 = rays[:, 11:12] ** 2
-        oS_T = rowmm(E, oS)                       # (Tb, 128)
-        dS_T = rowmm(E, dS)
+        oS_T = _mm_f32x2(E2, oS, split_b=True)    # (Tb, 128)
+        dS_T = _mm_f32x2(E2, dS, split_b=True)
         dQ_T = rowmm(E, dQ)
         nQ_T = wrefs["_sqrow"][...] - dQ_T
-        r2_T = rowmm(E, r2)
         if spec.ret_rgb:
-            extras = (_fast_sin(rowmm(rays, wrefs["_Pd"][...])
+            extras = (_fast_sin(_mm_f32x2(rays, wrefs["_Pd2"][...])
                                 + wrefs["_phd"][...]) * wrefs["_trg"][...]
-                      + rowmm(rays, wrefs["_SelRaw"][...]))
+                      + _mm_f32x2(rays, wrefs["_SelRaw2"][...]))
             if spec.app_dim:
-                extras = extras + rowmm(app, wrefs["_SelApp"][...])
+                extras = extras + _mm_f32x2(app, wrefs["_SelApp2"][...])
             xt = jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
                          preferred_element_type=jnp.float32)  # (R, hv)
 
@@ -339,19 +406,24 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
                 t_mean = mu + (2.0 * mu * hw**2) / den    # (R, Sb)
 
-                z_all = rowmm(E, z_b)                     # (Tb, Sb+1)
-                t0c = jnp.sum(z_all * wrefs["_M0"][...], axis=-1,
-                              keepdims=True)
-                t1c = jnp.sum(z_all * wrefs["_M1"][...], axis=-1,
-                              keepdims=True)
-                mu_c = (t0c + t1c) / 2.0
-                hw_c = (t1c - t0c) / 2.0
-                den_c = jnp.maximum(_F32_EPS, 3.0 * mu_c**2 + hw_c**2)
-                t_col = mu_c + (2.0 * mu_c * hw_c**2) / den_c
-                tv_col = hw_c**2 / 3.0 - (4.0 / 15.0) * (
-                    hw_c**4 * (12.0 * mu_c**2 - hw_c**2)) / den_c**2
-                rv_col = r2_T * (mu_c**2 / 4.0 + (5.0 / 12.0) * hw_c**2
-                                 - (4.0 / 15.0) * hw_c**4 / den_c)
+                # Cone moments at the cheap (R, Sb) layout (4 vregs/op vs
+                # 128 for anything (Tb, *)-shaped — see the _Mt mask
+                # comment), then ONE E-expand matmul + one masked
+                # lane-reduce per moment to reach the (Tb, 1) columns the
+                # IPE pre-activations broadcast over.  t_mean feeds the
+                # sin phase -> split-2 expansion (exact for one-hot E).
+                tv = hw**2 / 3.0 - (4.0 / 15.0) * (
+                    hw**4 * (12.0 * mu**2 - hw**2)) / den**2
+                rv = r2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                           - (4.0 / 15.0) * hw**4 / den)
+                pack3 = jnp.concatenate([t_mean, tv, rv], axis=1)
+                X3 = _mm_f32x2(E2, pack3, split_b=True)   # (Tb, 3*Sb)
+                t_col = jnp.sum(X3 * wrefs["_Mt"][...], axis=-1,
+                                keepdims=True)
+                tv_col = jnp.sum(X3 * wrefs["_Mv"][...], axis=-1,
+                                 keepdims=True)
+                rv_col = jnp.sum(X3 * wrefs["_Mr"][...], axis=-1,
+                                 keepdims=True)
 
                 pre = oS_T + t_col * dS_T + wrefs["_phase"][...]
                 vs = tv_col * dQ_T + rv_col * nQ_T
@@ -386,8 +458,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 alpha = 1.0 - jnp.exp(-sigma * dists)
                 log_t = jnp.log(1.0 - alpha + 1e-10)
                 prev = logt_scr[:, 0:1]
-                csum = jnp.dot(log_t, wrefs["_tri"][...],
-                               preferred_element_type=jnp.float32) + prev
+                # Split-2: a DEFAULT bf16 pass truncates log-transmittance
+                # sums (O(10) magnitudes) to ~4e-2 absolute -> 4% noise on
+                # every weight's exponent.
+                csum = _mm_f32x2(log_t, wrefs["_tri2"][...]) + prev
                 weights = alpha * jnp.exp(csum)           # (R, Sb)
 
                 w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
@@ -419,8 +493,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         if rgb_ref is not None and spec.white_bg:
             rgb_ref[...] += 1.0 - acc
         if feat_ref is not None:
-            pts_ref[...] = (rowmm(rays, wrefs["_SelO8"][...]) * acc
-                            + rowmm(rays, wrefs["_SelV8"][...])
+            # Split-2 selection: composited 3D points feed localization;
+            # a DEFAULT pass would round ray origins to bf16 (4e-3 rel).
+            pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...]) * acc
+                            + _mm_f32x2(rays, wrefs["_SelV82"][...])
                             * tw_scr[:, 0:1])
 
     def kernel(*refs):
