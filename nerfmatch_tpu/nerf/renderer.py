@@ -302,7 +302,8 @@ class NerfRenderer:
         """
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
-        render, pack = make_fused_hierarchical(self)
+        render, pack = make_fused_hierarchical(
+            self, interpret=getattr(self, "fused_interpret", False))
         if self.cfg.appearance_embedding:
             def call(params, rays, rid):
                 wc, wf = pack(params)
@@ -314,10 +315,47 @@ class NerfRenderer:
                 return render(wc, wf, rays, None)
         return jax.jit(call)
 
+    @functools.cached_property
+    def _fused_eval_scan(self):
+        """Scan-grouped dispatch: weights packed ONCE, then ``lax.scan`` of
+        the fused render over a (G, C, 12) chunk stack — one program and one
+        host dispatch per G chunks.  Scene caching renders thousands of
+        chunks; folding the chunk loop into the program amortizes the
+        per-dispatch floor and the per-chunk weight repack (measured on v5e:
+        23.1 -> 22.0 ms per 9216-ray chunk at G=8)."""
+        from ..ops.pallas.render_kernel import make_fused_hierarchical
+
+        render, pack = make_fused_hierarchical(
+            self, interpret=getattr(self, "fused_interpret", False))
+        if self.cfg.appearance_embedding:
+            def call(params, rays3, rid2):
+                wc, wf = pack(params)
+                emb = params["embedding_a"]["weight"]
+
+                def body(_, rr):
+                    rays, rid = rr
+                    return None, render(wc, wf, rays, emb[rid])
+
+                return jax.lax.scan(body, None, (rays3, rid2))[1]
+        else:
+            def call(params, rays3, rid2=None):
+                wc, wf = pack(params)
+
+                def body(_, rays):
+                    return None, render(wc, wf, rays, None)
+
+                return jax.lax.scan(body, None, rays3)[1]
+        return jax.jit(call)
+
     def fused_predict(self, params, rays, w: int | None = None,
                       h: int | None = None, chunk_rays: int = 9216,
-                      ray_id=None):
-        """Eval render through the fused kernel (rgb/depth/feat/pts only)."""
+                      ray_id=None, scan_chunks: int = 8):
+        """Eval render through the fused kernel (rgb/depth/feat/pts only).
+
+        Full groups of ``scan_chunks`` chunks go through the scan-grouped
+        program (one dispatch per group); the tail falls back to the
+        per-chunk program.  Exactly two compiled programs regardless of the
+        batch size."""
         fn = self._fused_eval
         rid_np = None
         if self.cfg.appearance_embedding:
@@ -339,7 +377,21 @@ class NerfRenderer:
         step = chunk_rays if rays_p.shape[0] > chunk_rays else rays_p.shape[0]
         step = max(step - step % 128, 128)
         chunks = []
-        for i in range(0, rays_p.shape[0], step):
+        start = 0
+        group = scan_chunks * step
+        while scan_chunks > 1 and rays_p.shape[0] - start >= group:
+            part = rays_p[start : start + group].reshape(
+                scan_chunks, step, rays_p.shape[-1])
+            if rid_p is not None:
+                rp = rid_p[start : start + group].reshape(scan_chunks, step)
+                out = self._fused_eval_scan(params, jnp.asarray(part),
+                                            jnp.asarray(rp))
+            else:
+                out = self._fused_eval_scan(params, jnp.asarray(part))
+            chunks.append({k: np.asarray(v).reshape(-1, *v.shape[2:])
+                           for k, v in out.items()})
+            start += group
+        for i in range(start, rays_p.shape[0], step):
             part = rays_p[i : i + step]
             rpart = rid_p[i : i + step] if rid_p is not None else None
             if part.shape[0] % 128:

@@ -181,3 +181,46 @@ def test_out_scr_heads():
     assert "scr_fine" in preds
     assert preds["scr_fine"].shape == (8, 3)
     assert np.all(np.isfinite(np.asarray(preds["scr_fine"])))
+
+
+def test_fused_predict_scan_grouping_matches_single():
+    """Scan-grouped fused_predict == per-chunk dispatch, incl. the padded
+    tail chunk (the group path must not change any output value)."""
+    from nerfmatch_tpu.config import dict2namespace
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    assert renderer.fused_eval_supported
+    renderer.fused_interpret = True  # CPU: run the Pallas kernels interpreted
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(11)
+    n = 300  # pads to 384 = 3 chunks of 128: one scan group of 2 + 1 single
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1).astype(np.float32)
+
+    grouped = renderer.fused_predict(params, rays, chunk_rays=128,
+                                     scan_chunks=2)
+    single = renderer.fused_predict(params, rays, chunk_rays=128,
+                                    scan_chunks=1)
+    assert set(grouped) == set(single)
+    for k in single:
+        a, b = np.asarray(grouped[k]), np.asarray(single[k])
+        assert a.shape == b.shape, k
+        # Same kernels, but the scan program compiles (and so fuses/rounds)
+        # separately from the per-chunk program: ulp-level f32 drift only.
+        assert np.abs(a - b).max() < 1e-4, (k, np.abs(a - b).max())
