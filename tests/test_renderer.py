@@ -224,3 +224,44 @@ def test_fused_predict_scan_grouping_matches_single():
         # Same kernels, but the scan program compiles (and so fuses/rounds)
         # separately from the per-chunk program: ulp-level f32 drift only.
         assert np.abs(a - b).max() < 1e-4, (k, np.abs(a - b).max())
+
+
+def test_fused_predict_scan_grouping_with_appearance():
+    """Scan-grouped fused_predict threads per-ray appearance ids correctly
+    (the rid stack must stay aligned with its ray chunks)."""
+    from nerfmatch_tpu.config import dict2namespace
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip",
+                      "appearance_embed": True},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, num_frames=5, stop_layer=3)
+    renderer.fused_interpret = True
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(12)
+    n = 256  # exactly one scan group of 2 x 128, no tail
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1).astype(np.float32)
+    ray_id = rng.integers(0, 5, n).astype(np.int32)
+
+    grouped = renderer.fused_predict(params, rays, chunk_rays=128,
+                                     scan_chunks=2, ray_id=ray_id)
+    single = renderer.fused_predict(params, rays, chunk_rays=128,
+                                    scan_chunks=1, ray_id=ray_id)
+    for k in single:
+        a, b = np.asarray(grouped[k]), np.asarray(single[k])
+        assert a.shape == b.shape, k
+        assert np.abs(a - b).max() < 1e-4, (k, np.abs(a - b).max())
