@@ -239,6 +239,11 @@ class NerfEvaluator:
         with the §3.2 npy schema consumed by ``load_frame_3d``."""
         self.renderer.cfg = self.renderer.cfg.__class__(
             **{**self.renderer.cfg.__dict__, "feat_comb": feat_comb})
+        # The jitted/fused render programs were traced against the previous
+        # cfg (jit caches by input shape only) — drop them so the new
+        # compositing mode actually takes effect.
+        for cached in ("_render_jit", "_fused_eval", "_fused_eval_scan"):
+            self.renderer.__dict__.pop(cached, None)
         if cache_dir is None:
             scene_dir = self.cache_dir / "scene" / \
                 f"ds{getattr(self.config, 'downsample', 8)}{feat_comb}"

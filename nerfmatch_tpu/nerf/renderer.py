@@ -283,16 +283,27 @@ class NerfRenderer:
     def fused_eval_supported(self) -> bool:
         """The fused Pallas path covers the production eval configs: mip
         hierarchy, viewdirs, 128 samples, linear feature compositing
-        (appearance embeddings ride in the per-ray extras).  Configs using
-        disparity sampling, a scaled IPE variance or 'max' feature
-        compositing fall back to the XLA path — the kernel does not
-        implement those semantics and must not silently drop them."""
+        (appearance embeddings ride in the per-ray extras).
+
+        ``use_disp`` needs no gate: the mip sampler ignores it entirely
+        (hardcoded ``lindisp=False``, matching the reference's
+        ``render_utils.py:283-295``), and the fused path requires mip.
+        ``mip_var_scale`` threads through ``FusedRenderSpec.var_scale``
+        (folded into the moment-extraction constants; parity-tested).
+        ``feat_comb='max'`` threads through ``FusedRenderSpec.feat_max``
+        (first-occurrence argmax surface sample, carried across sample
+        blocks; parity-tested against the XLA path).
+
+        Backend: Mosaic/TPU-only kernels — exclude known non-TPU backends
+        (the dev tunnel reports "axon", so exclusion not "tpu" matching;
+        same pattern as ``fused_attention_available``) unless a test
+        forces interpret mode via ``fused_interpret``."""
+        if (jax.default_backend() in ("cpu", "gpu", "cuda", "rocm", "metal")
+                and not getattr(self, "fused_interpret", False)):
+            return False
         return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
                 and self.fine_cfg is not None
-                and self.fine_cfg.num_pts == 128
-                and not self.cfg.use_disp
-                and self.cfg.mip_var_scale <= 0
-                and self.cfg.feat_comb == "lin")
+                and self.fine_cfg.num_pts == 128)
 
     @functools.cached_property
     def _fused_eval(self):

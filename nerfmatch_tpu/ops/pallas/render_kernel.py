@@ -113,6 +113,19 @@ class FusedRenderSpec:
                                  # trunk is skipped under a data-dependent
                                  # pl.when (skipped samples' true weights
                                  # are < eps; outputs get exact zeros).
+    var_scale: float = 1.0       # mip_var_scale: scales the Gaussian
+                                 # t/r variances post-cast (reference
+                                 # render_utils.py:311 `scale_var * var`);
+                                 # folded into the moment-extraction
+                                 # constants at trace time — zero runtime
+                                 # cost.
+    feat_max: bool = False       # feat_comb='max': composite feat/pts by
+                                 # taking the argmax-weight (surface)
+                                 # sample instead of the weighted sum
+                                 # (reference renderer.py:257-260).
+                                 # First-occurrence argmax, matching
+                                 # jnp.argmax; blocked schedule carries
+                                 # the running best across sample blocks.
 
 
 def _split2cat(x, axis):
@@ -265,8 +278,11 @@ def make_ray_matrices(spec: FusedRenderSpec):
     Mr = np.zeros((Tb, 3 * Sb), np.float32)
     for t in range(Tb):
         Mt[t, t % Sb] = 1.0
-        Mv[t, Sb + t % Sb] = 1.0
-        Mr[t, 2 * Sb + t % Sb] = 1.0
+        # var_scale (mip_var_scale) folds into the variance lane masks —
+        # they apply as a VPU elementwise product AFTER the split-2 matmul,
+        # so any f32 scale is exact here.
+        Mv[t, Sb + t % Sb] = spec.var_scale
+        Mr[t, 2 * Sb + t % Sb] = spec.var_scale
     j = jnp.asarray
     out = {"_SpO": j(SpO), "_SpV": j(SpV), "_SqV": j(SqV), "_sqrow": j(sqrow),
            "_Pd": j(Pd), "_phd": j(phase_d), "_trg": j(trig),
@@ -338,7 +354,8 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
     weight_names: list = []
 
-    n_scratch = (2 if spec.ret_feat else 1) if SB > 1 else 0
+    n_scratch = (2 + bool(spec.feat_max) if spec.ret_feat else 1) \
+        if SB > 1 else 0
 
     def blocked_body(wrefs, refs, rgb_ref, depth_ref, acc_ref, w_out_ref,
                      feat_ref, pts_ref, scratch_refs):
@@ -349,6 +366,9 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         The out refs double as cross-block accumulators."""
         logt_scr = scratch_refs[0]
         tw_scr = scratch_refs[1] if spec.ret_feat else None
+        # feat_max carry: col 0 = running max weight, col 1 = its t_mean.
+        mx_scr = scratch_refs[2] if (spec.ret_feat and spec.feat_max) \
+            else None
 
         def rowmm(a, B):
             return jnp.dot(a, B, preferred_element_type=jnp.float32)
@@ -390,6 +410,11 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         logt_scr[...] = jnp.zeros_like(logt_scr)
         if tw_scr is not None:
             tw_scr[...] = jnp.zeros_like(tw_scr)
+        if mx_scr is not None:
+            # -1 < any weight: block 0's in-block first-max always wins the
+            # first comparison, so an all-zero-weight ray selects sample 0
+            # exactly like jnp.argmax.
+            mx_scr[...] = jnp.full_like(mx_scr, -1.0)
         depth_ref[...] = jnp.zeros_like(depth_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         if rgb_ref is not None:
@@ -473,10 +498,31 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                                             axis=1)
                 if feat_ref is not None:
                     feat3 = feat_tap.reshape(R, Sb, hid)
-                    feat_ref[...] += jnp.sum(weights[:, :, None] * feat3,
-                                             axis=1)
-                    tw_scr[...] = tw_scr[...] + jnp.sum(
-                        weights * t_mean, axis=-1, keepdims=True)
+                    if spec.feat_max:
+                        # First-occurrence in-block argmax: exclusive
+                        # cumsum of the max mask via the 0/1 triangle
+                        # matmul (exact in one bf16 pass — integer counts).
+                        blk_max = jnp.max(weights, axis=-1, keepdims=True)
+                        mf = (weights == blk_max).astype(jnp.float32)
+                        seen = jnp.dot(mf, wrefs["_tri"][...],
+                                       preferred_element_type=jnp.float32)
+                        first = mf * (seen == 0.0)       # (R, Sb) one-hot
+                        feat_blk = jnp.sum(first[:, :, None] * feat3,
+                                           axis=1)
+                        t_blk = jnp.sum(first * t_mean, axis=-1,
+                                        keepdims=True)
+                        upd = blk_max > mx_scr[:, 0:1]
+                        feat_ref[...] = jnp.where(upd, feat_blk,
+                                                  feat_ref[...])
+                        mx_scr[:, 0:1] = jnp.where(upd, blk_max,
+                                                   mx_scr[:, 0:1])
+                        mx_scr[:, 1:2] = jnp.where(upd, t_blk,
+                                                   mx_scr[:, 1:2])
+                    else:
+                        feat_ref[...] += jnp.sum(weights[:, :, None] * feat3,
+                                                 axis=1)
+                        tw_scr[...] = tw_scr[...] + jnp.sum(
+                            weights * t_mean, axis=-1, keepdims=True)
                 logt_scr[...] = logt_scr[...] + jnp.sum(
                     log_t, axis=-1, keepdims=True)
 
@@ -495,9 +541,15 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         if feat_ref is not None:
             # Split-2 selection: composited 3D points feed localization;
             # a DEFAULT pass would round ray origins to bf16 (4e-3 rel).
-            pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...]) * acc
-                            + _mm_f32x2(rays, wrefs["_SelV82"][...])
-                            * tw_scr[:, 0:1])
+            # lin: sum_s w (o + t d) = o*acc + d*sum(w t); max: o + d*t_best.
+            if spec.feat_max:
+                pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...])
+                                + _mm_f32x2(rays, wrefs["_SelV82"][...])
+                                * mx_scr[:, 1:2])
+            else:
+                pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...]) * acc
+                                + _mm_f32x2(rays, wrefs["_SelV82"][...])
+                                * tw_scr[:, 0:1])
 
     def kernel(*refs):
         n_in = n_fixed + len(weight_names)
@@ -560,6 +612,9 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 hw_c**4 * (12.0 * mu_c**2 - hw_c**2)) / den_c**2
             rv_col = r2_T * (mu_c**2 / 4.0 + (5.0 / 12.0) * hw_c**2
                              - (4.0 / 15.0) * hw_c**4 / den_c)
+            if spec.var_scale != 1.0:
+                tv_col = spec.var_scale * tv_col
+                rv_col = spec.var_scale * rv_col
         else:
             xyz = wrefs["_xyz"][...]
             oS = rowmm(o8 * xyz, wrefs["_Sp"][...])   # (R, 128)
@@ -645,15 +700,31 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         w_out_ref[...] = weights
         if spec.ret_feat:
             feat3 = feat_tap.reshape(R, S, hid)
-            feat_map = jnp.sum(weights[:, :, None] * feat3, axis=1)
-            # Composited points:
-            # sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
-            tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
-            if spec.from_rays:
-                pts_map = (rowmm(rays, wrefs["_SelO8"][...]) * acc
-                           + rowmm(rays, wrefs["_SelV8"][...]) * tw)
+            if spec.feat_max:
+                # argmax-weight (surface) sample, first occurrence (matches
+                # jnp.argmax / reference renderer.py:257-260).
+                w_max = jnp.max(weights, axis=-1, keepdims=True)
+                mf = (weights == w_max).astype(jnp.float32)
+                seen = jnp.dot(mf, wrefs["_tri"][...],
+                               preferred_element_type=jnp.float32)
+                first = mf * (seen == 0.0)            # (R, S) one-hot
+                feat_map = jnp.sum(first[:, :, None] * feat3, axis=1)
+                t_best = jnp.sum(first * t_mean, axis=-1, keepdims=True)
+                if spec.from_rays:
+                    pts_map = (rowmm(rays, wrefs["_SelO8"][...])
+                               + rowmm(rays, wrefs["_SelV8"][...]) * t_best)
+                else:
+                    pts_map = (o8 + d8 * t_best) * xyz
             else:
-                pts_map = (o8 * acc + d8 * tw) * xyz  # (R, 8); cols 0:3 real
+                feat_map = jnp.sum(weights[:, :, None] * feat3, axis=1)
+                # Composited points:
+                # sum_s w (o + t_mean d) = o*acc + d*sum(w t_mean).
+                tw = jnp.sum(weights * t_mean, axis=-1, keepdims=True)
+                if spec.from_rays:
+                    pts_map = (rowmm(rays, wrefs["_SelO8"][...]) * acc
+                               + rowmm(rays, wrefs["_SelV8"][...]) * tw)
+                else:
+                    pts_map = (o8 * acc + d8 * tw) * xyz  # (R, 8); 0:3 real
             feat_ref[...] = feat_map
             pts_ref[...] = pts_map
 
@@ -697,6 +768,9 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             radius = o8[:, 3:4]
             r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
                                  - (4.0 / 15.0) * hw**4 / den)
+            if spec.var_scale != 1.0:
+                t_var = spec.var_scale * t_var
+                r_var = spec.var_scale * r_var
             tmvr = jnp.stack(
                 [t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
             tmvr = _pad_axis(tmvr, 8, 1)
@@ -826,7 +900,9 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         feat_layer=fine_cfg.stop_layer if fine_cfg.stop_layer >= 0 else 3,
         white_bg=cfg.white_bg, from_rays=True,
         dirs_freqs=cfg.dirs_num_freqs, app_dim=app_dim,
-        sample_blocks=sample_blocks, early_term_eps=early_term_eps)
+        sample_blocks=sample_blocks, early_term_eps=early_term_eps,
+        var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0),
+        feat_max=(cfg.feat_comb == "max"))
     fused = make_fused_render(spec, interpret=interpret)
     # Coarse pass: only depth/weights feed the fine stage — skip the
     # composited feat/pts reductions and (by default) the rgb head chain.

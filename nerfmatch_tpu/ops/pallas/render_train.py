@@ -143,6 +143,9 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
                 hw_c**4 * (12.0 * mu_c**2 - hw_c**2)) / den_c**2
             rv_col = r2_T * (mu_c**2 / 4.0 + (5.0 / 12.0) * hw_c**2
                              - (4.0 / 15.0) * hw_c**4 / den_c)
+            if spec.var_scale != 1.0:  # mip_var_scale
+                tv_col = spec.var_scale * tv_col
+                rv_col = spec.var_scale * rv_col
             extras = (_fast_sin(rmm(rays, wr["_Pd"]) + wr["_phd"])
                       * wr["_trg"] + rmm(rays, wr["_SelRaw"]))
         else:
@@ -355,6 +358,9 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
         radius = o8[:, 3:4]
         r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
                              - (4.0 / 15.0) * hw**4 / den)
+        if spec.var_scale != 1.0:  # mip_var_scale (render_utils.py:311)
+            t_var = spec.var_scale * t_var
+            r_var = spec.var_scale * r_var
         return _pad_axis(jnp.stack([t_mean, t_var, r_var], -1).reshape(N * S, 3),
                          8, 1)
 
@@ -507,7 +513,8 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
-        feat_layer=max(fine_cfg.stop_layer, 0) or 3, white_bg=cfg.white_bg)
+        feat_layer=max(fine_cfg.stop_layer, 0) or 3, white_bg=cfg.white_bg,
+        var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0))
     use_app = bool(cfg.appearance_embedding)
     assert renderer.dirs_emb_dim + 16 * use_app <= spec.extra_dim
     fused = make_fused_train_render(spec, interpret=interpret,

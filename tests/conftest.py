@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Silence XLA:CPU's spurious AOT-cache feature-mismatch errors: the compile
+# record embeds LLVM *tuning* pseudo-features (+prefer-no-gather/-scatter)
+# that host detection never reports, so every warm .jax_cache load logs a
+# false "could lead to SIGILL" error — even for entries this very machine
+# wrote (verified: compile/host lists differ ONLY in those two).  Level 3
+# drops C++ ERROR logs in tests; real failures still raise in Python.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import pathlib
 
 import jax  # noqa: E402

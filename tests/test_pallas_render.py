@@ -143,6 +143,7 @@ def test_fused_hierarchical_matches_renderer():
         "loss": {},
     })
     renderer = NerfRenderer(cfg, stop_layer=3)
+    renderer.fused_interpret = True  # CPU: gate + kernels in interpret mode
     assert renderer.fused_eval_supported
     params = renderer.init_params(jax.random.PRNGKey(0))
 
@@ -347,3 +348,135 @@ def test_blocked_early_term_parity():
     wt = np.asarray(et["weights"])
     assert (wt[:, 96:] == 0.0).all()
     assert not (np.asarray(ref["weights"])[:, 96:] == 0.0).all()
+
+
+def test_fused_hierarchical_var_scale_and_disp_config():
+    """mip_var_scale scales IPE variances inside the kernel (folded into
+    the moment-extraction constants) and use_disp no longer gates the
+    fused route (the mip sampler ignores it, reference
+    render_utils.py:283-295): both configs must route fused AND match the
+    XLA path."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": True,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip",
+                      "mip_var_scale": 2.0},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    renderer.fused_interpret = True  # CPU: gate + kernels in interpret mode
+    assert renderer.cfg.mip_var_scale == 2.0 and renderer.cfg.use_disp
+    assert renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-0.2, 0.2, (8, 3))
+    d = rng.normal(size=(8, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((8, 1), 0.05), np.full((8, 1), 1.4), d,
+         np.full((8, 1), 0.002)], -1), jnp.float32)
+
+    ref = renderer.render_rays(params, rays, train=False,
+                               ret_pfeat=True, validation=True)
+    render, pack = make_fused_hierarchical(renderer, interpret=True,
+                                           ray_tile=8)
+    wc, wf = pack(params)
+    out = render(wc, wf, rays)
+    assert np.allclose(np.asarray(out["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=2e-2)
+    assert np.allclose(np.asarray(out["depth_fine"]),
+                       np.asarray(ref["depth_fine"]), atol=2e-2)
+
+    # The scale must actually matter: a var_scale=1 kernel on the same
+    # weights disagrees (guards against the scale silently dropping out).
+    r1 = NerfRenderer(dict2namespace({**cfg.__dict__}), stop_layer=3)
+    r1.cfg = renderer.cfg.__class__(
+        **{**renderer.cfg.__dict__, "mip_var_scale": -1.0})
+    render1, pack1 = make_fused_hierarchical(r1, interpret=True, ray_tile=8)
+    out1 = render1(*pack1(params), rays)
+    assert np.abs(np.asarray(out1["rgb_fine"])
+                  - np.asarray(out["rgb_fine"])).max() > 1e-4
+
+
+def test_fused_hierarchical_feat_comb_max():
+    """feat_comb='max' (argmax-weight surface sample, reference
+    renderer.py:257-260) through the fused kernels: parity vs the XLA
+    path, and blocked-carry == unblocked argmax."""
+    import dataclasses
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    # feat_comb is an evaluator-set attribute (cache_scene_pts), not YAML.
+    renderer.cfg = renderer.cfg.__class__(
+        **{**renderer.cfg.__dict__, "feat_comb": "max"})
+    renderer.fused_interpret = True  # CPU: gate + kernels in interpret mode
+    assert renderer.cfg.feat_comb == "max"
+    assert renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    # Raise density so weights have a clear interior surface peak.
+    for mk in ("nerf_coarse", "nerf_fine"):
+        params[mk]["alpha_linear"]["bias"] = (
+            params[mk]["alpha_linear"]["bias"] + 2.0)
+
+    rng = np.random.default_rng(9)
+    n = 16
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+
+    ref = renderer.render_rays(params, rays, train=False,
+                               ret_pfeat=True, validation=True)
+    blocked = make_fused_hierarchical(renderer, interpret=True, ray_tile=8)
+    unblocked = make_fused_hierarchical(renderer, interpret=True, ray_tile=8,
+                                        sample_blocks=1)
+    wc, wf = blocked[1](params)
+    out_b = blocked[0](wc, wf, rays)
+    out_u = unblocked[0](wc, wf, rays)
+
+    # Blocked carry == unblocked full argmax (identical weights in-kernel).
+    for k in ("feat_fine", "pts_fine"):
+        e = np.abs(np.asarray(out_b[k]) - np.asarray(out_u[k])).max()
+        assert e < 1e-5, (k, e)
+
+    # vs XLA: the selected features carry the kernel's bf16-trunk noise
+    # (~5e-4, same as the lin-mode parity bound)...
+    f_err = np.abs(np.asarray(out_b["feat_fine"])
+                   - np.asarray(ref["feat_fine"])).max()
+    assert f_err < 5e-3, f_err
+    # ...while pts go through the f32 split-2 selection, so a per-ray pts
+    # error ~z-spacing (1e-2) would flag an argmax flip: require the vast
+    # majority of rays to select the same surface sample.
+    pts_err = np.abs(np.asarray(out_b["pts_fine"])
+                     - np.asarray(ref["pts_fine"])).max(-1)
+    assert (pts_err < 2e-3).mean() >= 0.9, pts_err
+    assert np.allclose(np.asarray(out_b["pts_fine"]),
+                       np.asarray(ref["pts_fine"]), atol=2e-2)
+    # rgb/depth keep the standard compositing
+    assert np.allclose(np.asarray(out_b["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=2e-2)

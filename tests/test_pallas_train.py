@@ -311,3 +311,65 @@ def test_fused_train_hierarchical_appearance_interpret():
         params = optax.apply_updates(params, up)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_fused_train_var_scale_threads_through():
+    """mip_var_scale reaches the train kernels' staged moments: scaled and
+    unscaled runs on identical params/keys must differ, and grads stay
+    finite (the eval-path parity test pins the scaled math against XLA)."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_train import \
+        make_fused_train_hierarchical
+
+    def build(scale):
+        cfg = dict2namespace({
+            "data": {"img_wh": [32, 32]},
+            "render": {"chunksize": 4096, "use_viewdirs": True,
+                       "use_disp": False, "perturb": True,
+                       "white_bg": False, "noise_std": 0.0},
+            "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4,
+                          "type": "mip", "mip_var_scale": scale},
+            "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                            "output_dim": 4, "skips": [4], "num_pts": 128},
+            "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                          "output_dim": 4, "skips": [4], "num_pts": 128},
+            "loss": {},
+        })
+        return NerfRenderer(cfg, stop_layer=3)
+
+    r2 = build(2.0)
+    r2.fused_interpret = True  # CPU: gate in interpret mode
+    assert r2.fused_eval_supported
+    params = r2.init_params(jax.random.PRNGKey(0))
+    # Push density up so rays are not fully transparent at init.
+    for mk in ("nerf_coarse", "nerf_fine"):
+        params[mk]["alpha_linear"]["bias"] = (
+            params[mk]["alpha_linear"]["bias"] + 3.0)
+
+    rng = np.random.default_rng(5)
+    n = 8
+    o = rng.uniform(-0.3, 0.3, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.5), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    out2 = make_fused_train_hierarchical(r2, interpret=True)(
+        params, rays, key)
+    out1 = make_fused_train_hierarchical(build(-1.0), interpret=True)(
+        params, rays, key)
+    diff = np.abs(np.asarray(out2["rgb_fine"])
+                  - np.asarray(out1["rgb_fine"])).max()
+    assert diff > 1e-5, diff
+
+    def loss_fn(p):
+        out = make_fused_train_hierarchical(r2, interpret=True)(p, rays, key)
+        return jnp.mean(out["rgb_fine"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g["nerf_fine"]))
+    assert np.isfinite(gn) and gn > 0

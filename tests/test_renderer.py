@@ -200,8 +200,8 @@ def test_fused_predict_scan_grouping_matches_single():
         "loss": {},
     })
     renderer = NerfRenderer(cfg, stop_layer=3)
-    assert renderer.fused_eval_supported
     renderer.fused_interpret = True  # CPU: run the Pallas kernels interpreted
+    assert renderer.fused_eval_supported
     params = renderer.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(11)
