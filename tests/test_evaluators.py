@@ -405,3 +405,43 @@ def test_eval_match_masks_and_zero_matches(scene):
     assert n == 0
     assert c2w_est is None
     assert not np.isfinite(r_err) and not np.isfinite(t_err)
+
+
+def test_cache_scene_pts_fused_route_and_feat_comb_swap(scene, tmp_path):
+    """cache_scene_pts through the FUSED predict path (128-sample config,
+    interpret on CPU), lin then max: the cfg swap must invalidate the
+    cached jitted programs (stale-jit regression) and both modes must
+    satisfy the load_frame_3d contract."""
+    from nerfmatch_tpu.eval.nerf_evaluator import NerfEvaluator
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.data.loading import load_frame_3d
+
+    cfg = small_nerf_cfg(scene)
+    cfg.coarse_nerf.num_pts = 128
+    cfg.fine_nerf.num_pts = 128
+    renderer = NerfRenderer(cfg, stop_layer=1)
+    renderer.fused_interpret = True
+    assert renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    # Interior density so max-compositing has a surface to select.
+    for mk in ("nerf_coarse", "nerf_fine"):
+        params[mk]["alpha_linear"]["bias"] = (
+            params[mk]["alpha_linear"]["bias"] + 2.0)
+    ev = NerfEvaluator(cfg, renderer, params)
+
+    out_lin = ev.cache_scene_pts(cache_dir=tmp_path / "lin", debug=True)
+    assert renderer.cfg.feat_comb == "lin"
+    out_max = ev.cache_scene_pts(feat_comb="max",
+                                 cache_dir=tmp_path / "max", debug=True)
+    assert renderer.cfg.feat_comb == "max"
+
+    frame = scene["frames"][0]
+    n = (W // DS) * (H // DS)
+    feats = {}
+    for tag, out_dir in (("lin", out_lin), ("max", out_max)):
+        pt3d, feat, mask, unnorm = load_frame_3d(frame, str(out_dir))
+        assert pt3d.shape == (n, 3)
+        assert np.all(np.isfinite(pt3d)) and np.all(np.isfinite(feat))
+        feats[tag] = feat
+    # The swap must actually change the compositing (stale-jit bug check).
+    assert np.abs(feats["lin"] - feats["max"]).max() > 1e-6

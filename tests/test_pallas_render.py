@@ -480,3 +480,50 @@ def test_fused_hierarchical_feat_comb_max():
     # rgb/depth keep the standard compositing
     assert np.allclose(np.asarray(out_b["rgb_fine"]),
                        np.asarray(ref["rgb_fine"]), atol=2e-2)
+
+
+def test_blocked_feat_max_with_early_termination():
+    """feat_max's argmax carry must survive skipped (saturated) blocks: on
+    an opaque scene the surface sample sits in an early block, so skipping
+    the tail must not change the selected feature."""
+    import dataclasses
+    from nerfmatch_tpu.nerf.model import NerfConfig, init_nerf_params
+    from nerfmatch_tpu.ops.pallas.render_kernel import (
+        FusedRenderSpec, make_fused_render)
+    from nerfmatch_tpu.ops.pallas.render_train import pack_mlp_weights_traced
+
+    F, HID, S, R = 15, 256, 128, 8
+    cfg = NerfConfig(layer_num=8, hid_dim=HID, xyz_dim=2 * 3 * F,
+                     dirs_dim=2 * 3 * 4 + 3, use_viewdirs=True, skips=(4,),
+                     stop_layer=3)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    params["alpha_linear"]["bias"] = params["alpha_linear"]["bias"] + 60.0
+
+    rng = np.random.default_rng(13)
+    n = 16
+    o = rng.uniform(-0.2, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.4), d,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, S + 1)
+    z = rays[:, 6:7] * (1.0 - t) + rays[:, 7:8] * t
+
+    base = FusedRenderSpec(num_freqs=F, hid_dim=HID, layer_num=8,
+                           samples=S, ray_tile=R, feat_layer=3,
+                           from_rays=True, dirs_freqs=4, feat_max=True,
+                           sample_blocks=4)
+    w = pack_mlp_weights_traced(params, base)
+    ref = make_fused_render(base, interpret=True)(w, rays, z)
+    et = make_fused_render(
+        dataclasses.replace(base, early_term_eps=1e-4),
+        interpret=True)(w, rays, z)
+
+    # Saturated tail is actually skipped...
+    assert (np.asarray(et["weights"])[:, 96:] == 0.0).all()
+    # ...and the selected surface feature/point is unchanged (the argmax
+    # winner lives in an executed block on an opaque scene).
+    for k in ("feat", "pts"):
+        e = np.abs(np.asarray(ref[k]) - np.asarray(et[k])).max()
+        assert e < 1e-6, (k, e)
