@@ -86,7 +86,7 @@ def eval_ckpt(args):
         cached_pt=not args.no_cache_pt, cache_dir=args.cache_dir,
         cache_iters=args.cache_iters, retrieval_only=args.retrieval_only,
         match_oracle=args.match_oracle, seed=args.seed,
-        visualize=args.visualize)
+        visualize=args.visualize, eval_bs=args.eval_bs)
 
 
 def benchmark(args):
@@ -169,6 +169,9 @@ def build_parser():
                    help="Shard the pair axis of multi-pair matching over "
                         "the device mesh (separate top-k pairs).")
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--eval_bs", type=int, default=1,
+                   help="queries per matcher dispatch (single-shot "
+                        "cached-pt protocol only; results identical)")
     p.add_argument("--seeds", type=int, nargs="*", default=[])
     p.add_argument("--feats", type=str, nargs="*", default=[])
     return p

@@ -208,16 +208,63 @@ class NeRFMatchEvaluator:
                 match_thres=match_thres, top_k=self.max_matches)
         lists = jax.device_get(out["lists"])
         self.timer["match_time"].append(time.perf_counter() - t0)
-        valid = lists["valid"][0]
-        i_ids = lists["i_ids"][0][valid]
-        j_ids = lists["j_ids"][0][valid]
-        mpt2d = pt2d[i_ids]
+        return self._item_matches(out, lists, pt2d[None], pt3d, 0)
+
+    # ------------------------------------------------------------------
+    def _item_matches(self, out, lists, pt2d_all, pt3d, b):
+        """Host-side match lists for batch item ``b`` of a device output."""
+        valid = lists["valid"][b]
+        i_ids = lists["i_ids"][b][valid]
+        j_ids = lists["j_ids"][b][valid]
+        mpt2d = pt2d_all[b][i_ids]
         if not self.coarse_only:
             M = out["j_ids"].shape[1]
-            expec = np.asarray(out["expec_f"]).reshape(-1, M, 3)[0][i_ids]
+            expec = np.asarray(out["expec_f"]).reshape(-1, M, 3)[b][i_ids]
             mpt2d = np.asarray(self.model.fine_coords(
                 jnp.asarray(expec), jnp.asarray(mpt2d)))
-        return mpt2d, pt3d[0][j_ids]
+        return mpt2d, pt3d[b][j_ids]
+
+    # ------------------------------------------------------------------
+    def _eval_batch_queries(self, batch, mutual, match_thres, solver,
+                            rthres, center_subpixel):
+        """All queries of a collated batch through ONE matcher program.
+
+        The inference programs are batched over queries end-to-end (leading
+        ``B`` dim throughout ``models/``), so ``--eval_bs`` amortizes
+        per-dispatch overhead and fills conv MXU tiles better than bs=1;
+        per-query PnP stays on host.  Restricted to the single-shot
+        cached-point protocol (``iters``/iNeRF re-render per query pose,
+        which is inherently sequential)."""
+        ts = time.perf_counter()
+        pt3d = np.asarray(batch["pt3d"])
+        assert pt3d.ndim == 3, "eval_bs>1 requires single-pair batches"
+        B = pt3d.shape[0]
+        out = self.model.eval_match(
+            self.params, jnp.asarray(batch["image"]),
+            jnp.asarray(batch["pt_feat"]), jnp.asarray(pt3d),
+            im_mask=jnp.asarray(np.asarray(batch["im_mask"], np.float32)),
+            pt_mask=jnp.asarray(np.asarray(batch["pt_mask"], np.float32)),
+            mutual=mutual, match_thres=match_thres, top_k=self.max_matches)
+        lists = jax.device_get(out["lists"])
+        self.timer["match_time"].extend(
+            [(time.perf_counter() - ts) / B] * B)
+
+        Ks = np.asarray(batch["K"])
+        c2ws = np.asarray(batch["c2w"])
+        pt2d_all = np.asarray(batch["pt2d"])
+        res = dict(R_err=[], t_err=[], num_matches=[],
+                   iter_t_errs=[], iter_R_errs=[])
+        for b in range(B):
+            mpt2d, mpt3d = self._item_matches(out, lists, pt2d_all, pt3d, b)
+            _, r_err, t_err, n = self._solve_pose(
+                mpt2d, mpt3d, Ks[b], c2ws[b], solver, rthres,
+                center_subpixel)
+            res["R_err"].append(r_err)
+            res["t_err"].append(t_err)
+            res["num_matches"].append(n)
+        self.timer["localize_time"].extend(
+            [(time.perf_counter() - ts) / B] * B)
+        return res
 
     # ------------------------------------------------------------------
     def eval_match_pose(self, batch, mutual: bool = True,
@@ -239,6 +286,13 @@ class NeRFMatchEvaluator:
         else:
             pt2d, pt3d = self._extract_matches_host(batch, mutual, match_thres)
 
+        return self._solve_pose(pt2d, pt3d, K, c2w_gt, solver, rthres,
+                                center_subpixel)
+
+    # ------------------------------------------------------------------
+    def _solve_pose(self, pt2d, pt3d, K, c2w_gt, solver, rthres,
+                    center_subpixel):
+        """PnP + pose error -> (c2w_est, R_err, t_err, num_matches)."""
         if center_subpixel:
             pt2d = pt2d + np.array([[0.5, 0.5]])
         solver_name = {"colmap": "native", "cv2": "cv", "cv": "cv",
@@ -266,6 +320,12 @@ class NeRFMatchEvaluator:
                    cache_iters: bool = False, debug: bool = False,
                    overlay_ims=None):
         """Per-query localization with optional iterative re-rendering."""
+        if int(np.asarray(batch["image"]).shape[0]) > 1:
+            assert iters == 1 and inerf_conf is None and not match_oracle \
+                and not retrieval_only and not query2query and cached_pt, \
+                "eval_bs>1 supports only the single-shot cached-pt protocol"
+            return self._eval_batch_queries(batch, mutual, match_thres,
+                                            solver, rthres, center_subpixel)
         K = np.asarray(batch["K"])[0]
         if "unnorm_scene" in batch:
             unnorm_scene = np.asarray(batch["unnorm_scene"])[0]
@@ -398,7 +458,7 @@ class NeRFMatchEvaluator:
                           retrieval_only: bool = False,
                           match_oracle: bool = False, seed=None,
                           visualize: bool = False,
-                          shard_scenes: bool = False):
+                          shard_scenes: bool = False, eval_bs: int = 1):
         """Scene loop with tag-keyed result caching + cross-scene averages."""
         if cache_dir:
             self.cache_dir = Path(cache_dir)
@@ -438,7 +498,17 @@ class NeRFMatchEvaluator:
             if os.path.exists(cache_path) and not ow_cache:
                 metrics = np.load(cache_path, allow_pickle=True).item()
             else:
-                loader = DataLoader(dataset, batch_size=1, shuffle=False)
+                # Query batching (--eval_bs): only the single-shot
+                # cached-point protocol is batchable (iters/iNeRF
+                # re-render sequentially per query; visualization and
+                # multi-pair layouts key off batch item 0).
+                bs = eval_bs if (
+                    eval_bs > 1 and iters == 1 and not inerf_conf
+                    and cached_pt and not query2query and not retrieval_only
+                    and not match_oracle and not visualize and not cache_iters
+                    and type(dataset).__name__ != "NeRFMatchMultiPair"
+                ) else 1
+                loader = DataLoader(dataset, batch_size=bs, shuffle=False)
                 renderer = renderer_params = None
                 if (not cached_pt) or query2query or (iters > 1) or inerf_conf:
                     sl = stop_layer if stop_layer > 0 else \

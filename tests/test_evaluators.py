@@ -179,6 +179,33 @@ def test_trained_matcher_localizes(scene):
     assert r_err < 10.0 and t_err < 0.4, (r_err, t_err, n, float(loss))
 
 
+def test_eval_bs_batched_queries_match_single(scene):
+    """--eval_bs: a B=2 collated batch through ``eval_batch`` must reproduce
+    the two per-query results — same device program (batched over queries),
+    per-item host PnP (reference protocol is strictly bs=1:
+    ``nerfmatch_evaluator.py`` DataLoader(batch_size=1))."""
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="test", val_num=4)
+    assert len(ds) >= 2
+    singles = [ev.eval_batch(_collate([ds[i]]), mutual=True, rthres=6.0,
+                             solver="colmap") for i in range(2)]
+    batched = ev.eval_batch(_collate([ds[0], ds[1]]), mutual=True,
+                            rthres=6.0, solver="colmap")
+    for b in range(2):
+        assert batched["num_matches"][b] == singles[b]["num_matches"][0]
+        for k in ("R_err", "t_err"):
+            sv, bv = singles[b][k][0], batched[k][b]
+            if np.isinf(sv):
+                assert np.isinf(bv), (k, b)
+            else:
+                assert bv == pytest.approx(sv, rel=1e-3, abs=1e-5), (k, b)
+
+
 def test_retrieval_only_mode(scene):
     from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
     from nerfmatch_tpu.data import NeRFMatchPair
