@@ -512,9 +512,17 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
     # via spec.from_rays and parity-tested, not used here.
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
-        layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
+        layer_num=fine_cfg.layer_num, skips=tuple(fine_cfg.skips),
+        samples=S, ray_tile=ray_tile,
         feat_layer=max(fine_cfg.stop_layer, 0) or 3, white_bg=cfg.white_bg,
         var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0))
+    # One spec drives BOTH stages: the coarse model must share the MLP
+    # layout (the train kernel's weight list is spec-static, unlike the
+    # eval kernel's packed-dict-driven names).
+    ccfg = fine_cfg if cfg.single_model else renderer.coarse_cfg
+    assert (ccfg.hid_dim, ccfg.layer_num, tuple(ccfg.skips)) == \
+        (fine_cfg.hid_dim, fine_cfg.layer_num, tuple(fine_cfg.skips)), \
+        "fused train requires coarse/fine NeRFs with identical MLP layouts"
     use_app = bool(cfg.appearance_embedding)
     assert renderer.dirs_emb_dim + 16 * use_app <= spec.extra_dim
     fused = make_fused_train_render(spec, interpret=interpret,
@@ -542,13 +550,16 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
         N = rays.shape[0]
 
         k_strat, k_res, k_n1, k_n2 = jax.random.split(key, 4)
-        # Randomized stratified fenceposts (reference jittered scheme).
+        # Stratified fenceposts, jittered when cfg.perturb (reference
+        # randomized training scheme; perturb=0 must stay deterministic).
         t = jnp.linspace(0.0, 1.0, S + 1)
         z = near * (1.0 - t) + far * t
-        mids = 0.5 * (z[:, 1:] + z[:, :-1])
-        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
-        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
-        z = lower + (upper - lower) * jax.random.uniform(k_strat, (N, S + 1))
+        if cfg.perturb:
+            mids = 0.5 * (z[:, 1:] + z[:, :-1])
+            upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+            lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+            z = lower + (upper - lower) * jax.random.uniform(k_strat,
+                                                             (N, S + 1))
 
         noise_c = (jax.random.normal(k_n1, (N, S)) * cfg.noise_std
                    if cfg.noise_std > 0 else jnp.zeros((N, S)))
@@ -559,8 +570,8 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
         rgb_c, weights_c = fused(wc, o8, d8, z, extras, noise_c)
 
         z_f = resample_z_pallas(
-            z, jax.lax.stop_gradient(weights_c), randomized=True, key=k_res,
-            interpret=interpret)
+            z, jax.lax.stop_gradient(weights_c),
+            randomized=bool(cfg.perturb), key=k_res, interpret=interpret)
         wf = pack_mlp_weights_traced(params["nerf_fine"], spec)
         rgb_f, weights_f = fused(wf, o8, d8, z_f, extras, noise_f)
 

@@ -109,10 +109,16 @@ class NerfTrainer:
         if use_fused:
             from ..ops.pallas.render_train import make_fused_train_hierarchical
 
-            fused_render = make_fused_train_hierarchical(renderer)
+            fused_render = make_fused_train_hierarchical(
+                renderer, interpret=getattr(renderer, "fused_interpret",
+                                            False))
 
-        @jax.jit
-        def step(params, opt_state, rays, rgbs, ts, key, mask=None):
+        def body(params, opt_state, rays, rgbs, ts, key, mask, axis=None):
+            if axis is not None:
+                # Per-shard stratified jitter / density noise must differ
+                # across devices (the replicated key would correlate them).
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
             def loss_fn(p):
                 if fused_render is not None:
                     preds = fused_render(p, rays, key, ray_id=ts)
@@ -123,9 +129,39 @@ class NerfTrainer:
                                                cnfg_loss=cnfg_loss)
                 return metrics["loss"], metrics
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                metrics = jax.lax.pmean(metrics, axis)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
+
+        mesh = self.mesh
+        if fused_render is not None and mesh is not None \
+                and mesh.devices.size > 1:
+            # GSPMD cannot partition a pallas_call: on a multi-device mesh
+            # the fused step is built with shard_map (batch args split over
+            # 'data', per-device grads pmean'd inside) — same pattern as
+            # matcher_trainer._build_step.  The XLA path stays plain jit
+            # (sharding propagation handles it and keeps the global-batch
+            # RNG semantics of test_mesh_size_invariance).
+            import functools
+
+            from jax.sharding import PartitionSpec as P
+
+            sharded = jax.jit(jax.shard_map(
+                functools.partial(body, axis="data"), mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"), P(),
+                          P("data")),
+                out_specs=(P(), P(), P()), check_vma=False))
+
+            def step(params, opt_state, rays, rgbs, ts, key, mask=None):
+                return sharded(params, opt_state, rays, rgbs, ts, key, mask)
+        else:
+            jitted = jax.jit(body)
+
+            def step(params, opt_state, rays, rgbs, ts, key, mask=None):
+                return jitted(params, opt_state, rays, rgbs, ts, key, mask)
 
         self._train_step = step
         return step

@@ -21,14 +21,16 @@ def scene(tmp_path_factory):
                        correlated_feats=True)
 
 
-def run_steps(cfg, mesh, n_steps=3):
+def run_steps(cfg, mesh, n_steps=3, fused=False):
     from nerfmatch_tpu.train.nerf_trainer import NerfTrainer
     from nerfmatch_tpu.data import init_data_loader
 
     ds = init_data_loader(cfg.data, 0, 1, split="train").dataset
     trainer = NerfTrainer(cfg, num_frames=1, mesh=mesh)
     params, opt_state = trainer.init_state(0)
-    step = trainer.train_step_fn()
+    if fused:
+        trainer.renderer.fused_interpret = True  # CPU: kernels interpreted
+    step = trainer.train_step_fn(use_fused=True if fused else None)
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
     losses = []
@@ -55,6 +57,33 @@ def test_mesh_size_invariance(scene, tmp_path):
     p1 = np.asarray(ref_params["nerf_fine"]["pts_linears"][0]["weight"])
     p8 = np.asarray(params["nerf_fine"]["pts_linears"][0]["weight"])
     assert np.allclose(p1, p8, atol=2e-5)
+
+
+def test_fused_train_step_sharded_matches_single(scene, tmp_path):
+    """The fused custom-VJP train step on an 8-way DP mesh must match the
+    single-device fused step.  GSPMD cannot partition a pallas_call, so
+    ``train_step_fn`` builds the multi-device fused step with shard_map
+    (grads pmean'd inside) — this is the production multi-chip NeRF
+    training path (XLA-path invariance alone would not catch a broken
+    fused wrapper).  Deterministic sampling (perturb off) so 1-way and
+    8-way agree to fp reduction order."""
+    cfg = nerf_train_config(scene, tmp_path)
+    cfg.render.perturb = False
+    cfg.render.noise_std = 0.0
+    ref_losses, ref_params = run_steps(
+        cfg, make_mesh(data=1, devices=jax.devices()[:1]), n_steps=2,
+        fused=True)
+    losses, params = run_steps(cfg, make_mesh(data=8), n_steps=2, fused=True)
+    assert np.allclose(losses, ref_losses, rtol=2e-5), (losses, ref_losses)
+    # Adam normalizes by sqrt(v)+eps: where a grad element is ~0, the fp
+    # reduction order of the pmean'd bf16 kernel grads can flip its sign
+    # and move that element by up to ~2*lr — judge the params by
+    # distribution, not pointwise (measured: max 8e-4, mean 1.4e-5).
+    p1 = np.asarray(ref_params["nerf_fine"]["pts_linears"][0]["weight"])
+    p8 = np.asarray(params["nerf_fine"]["pts_linears"][0]["weight"])
+    d = np.abs(p1 - p8)
+    lr = cfg.optim.lr
+    assert d.max() < 2 * lr and d.mean() < 1e-4, (d.max(), d.mean())
 
 
 def test_tp_sharded_forward_matches_replicated():
