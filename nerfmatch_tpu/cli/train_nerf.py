@@ -19,6 +19,11 @@ def build_parser():
     parser.add_argument("--gpus", type=int, default=None,
                         help="Cap the device-mesh size (reference --gpus).")
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="Raise at the op producing a NaN in the train "
+                             "step (reference pl.Trainer detect_anomaly; "
+                             "JAX re-runs the jitted step de-optimized to "
+                             "locate it — debug only, slow).")
     return parser
 
 
@@ -42,6 +47,10 @@ def main(argv=None):
     if args.debug:
         config.exp.debug = True
         config.exp.prefix = "debug"
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return train(config)
 
 

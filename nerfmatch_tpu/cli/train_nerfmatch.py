@@ -19,6 +19,10 @@ def build_parser():
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--stage", type=str, default="c2f", choices=["coarse", "c2f"])
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="Raise at the op producing a NaN in the train step "
+                        "(reference nerfmatch_coarse_trainer.py:680 "
+                        "detect_anomaly=True; debug only, slow).")
     p.add_argument("--update_conf", action="store_true")
     # Arch flags
     p.add_argument("--backbone", type=str, default="convformer384")
@@ -110,6 +114,10 @@ def main(argv=None, stage=None):
         apply_update_conf(config, args)
     if args.debug:
         config.exp.debug = True
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.stage == "coarse":
         return train_coarse(config)
     return train_c2f(config)

@@ -82,5 +82,29 @@ def test_cli_parsers():
 
     a = p4().parse_args(["--ckpts", "m.ckpt", "--solver", "colmap",
                          "--rthres", "5", "--mutual", "--iters", "2",
-                         "--inerf", "--inerf_optim", "3"])
-    assert a.mutual and a.iters == 2 and a.inerf
+                         "--inerf", "--inerf_optim", "3", "--eval_bs", "4"])
+    assert a.mutual and a.iters == 2 and a.inerf and a.eval_bs == 4
+
+    a = p1().parse_args(["--config", "c.yaml", "--detect_anomaly"])
+    assert a.detect_anomaly
+    a = p2().parse_args(["--config", "c.yaml", "--detect_anomaly"])
+    assert a.detect_anomaly
+
+
+def test_debug_nans_flags_nan_step():
+    """The --detect_anomaly backend (jax_debug_nans) must raise at a
+    NaN-producing jitted step — the reference's pl.Trainer
+    detect_anomaly=True equivalent (nerfmatch_coarse_trainer.py:680)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        @jax.jit
+        def bad(x):
+            return jnp.log(x - 1.0)  # NaN for x < 1
+
+        with pytest.raises(FloatingPointError):
+            np.asarray(bad(jnp.zeros((4,))))
+    finally:
+        jax.config.update("jax_debug_nans", False)
