@@ -59,17 +59,21 @@ def test_mesh_size_invariance(scene, tmp_path):
     assert np.allclose(p1, p8, atol=2e-5)
 
 
-def test_fused_train_step_sharded_matches_single(scene, tmp_path):
+@pytest.mark.parametrize("app", [False, True])
+def test_fused_train_step_sharded_matches_single(scene, tmp_path, app):
     """The fused custom-VJP train step on an 8-way DP mesh must match the
     single-device fused step.  GSPMD cannot partition a pallas_call, so
     ``train_step_fn`` builds the multi-device fused step with shard_map
     (grads pmean'd inside) — this is the production multi-chip NeRF
     training path (XLA-path invariance alone would not catch a broken
     fused wrapper).  Deterministic sampling (perturb off) so 1-way and
-    8-way agree to fp reduction order."""
+    8-way agree to fp reduction order.  ``app`` additionally covers the
+    extras-cotangent appearance-embedding grads (Cambridge) under
+    shard_map."""
     cfg = nerf_train_config(scene, tmp_path)
     cfg.render.perturb = False
     cfg.render.noise_std = 0.0
+    cfg.embedding.appearance_embed = app
     ref_losses, ref_params = run_steps(
         cfg, make_mesh(data=1, devices=jax.devices()[:1]), n_steps=2,
         fused=True)
