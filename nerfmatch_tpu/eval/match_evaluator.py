@@ -145,9 +145,15 @@ class NeRFMatchEvaluator:
         if n_dev > 1:
             from ..parallel.mesh import make_mesh
 
-            if bool(getattr(config, "point_shard", False)) and \
-                    self.coarse_only:
-                self.point_shard_mesh = make_mesh(data=n_dev)
+            if bool(getattr(config, "point_shard", False)):
+                if self.coarse_only:
+                    self.point_shard_mesh = make_mesh(data=n_dev)
+                else:
+                    # NeRFMatcherMS's feature split differs (fmap tuple);
+                    # dropping the flag silently would misreport timings.
+                    logger.warning("--point_shard only applies to the "
+                                   "coarse-only matcher; ignoring it for "
+                                   "the c2f model (unsharded eval_match).")
             if bool(getattr(config, "pair_shard", False)):
                 self.pair_shard_mesh = make_mesh(data=n_dev)
 
@@ -502,11 +508,13 @@ class NeRFMatchEvaluator:
                 # cached-point protocol is batchable (iters/iNeRF
                 # re-render sequentially per query; visualization and
                 # multi-pair layouts key off batch item 0).
+                from ..data import NeRFMatchMultiPair
+
                 bs = eval_bs if (
                     eval_bs > 1 and iters == 1 and not inerf_conf
                     and cached_pt and not query2query and not retrieval_only
                     and not match_oracle and not visualize and not cache_iters
-                    and type(dataset).__name__ != "NeRFMatchMultiPair"
+                    and not isinstance(dataset, NeRFMatchMultiPair)
                 ) else 1
                 loader = DataLoader(dataset, batch_size=bs, shuffle=False)
                 renderer = renderer_params = None

@@ -286,9 +286,15 @@ def make_ray_matrices(spec: FusedRenderSpec):
     j = jnp.asarray
     out = {"_SpO": j(SpO), "_SpV": j(SpV), "_SqV": j(SqV), "_sqrow": j(sqrow),
            "_Pd": j(Pd), "_phd": j(phase_d), "_trg": j(trig),
-           "_SelRaw": j(SelRaw), "_SelO8": j(SelO8), "_SelV8": j(SelV8),
-           "_M0": j(M0), "_M1": j(M1),
-           "_Mt": j(Mt), "_Mv": j(Mv), "_Mr": j(Mr)}
+           "_SelRaw": j(SelRaw), "_SelO8": j(SelO8), "_SelV8": j(SelV8)}
+    # Ship each layout's masks only to the kernel that reads them: _M0/_M1
+    # drive the unblocked (and train) fencepost pulls; _Mt/_Mv/_Mr the
+    # blocked moment extraction.  At SB=1 the unused trio would be
+    # 3 x (T, 3*S) f32 of dead VMEM operands DMA'd every grid step.
+    if spec.sample_blocks > 1:
+        out.update({"_Mt": j(Mt), "_Mv": j(Mv), "_Mr": j(Mr)})
+    else:
+        out.update({"_M0": j(M0), "_M1": j(M1)})
     if spec.sample_blocks > 1:
         # K-doubled exact partners for the split-2 dots (_mm_f32x2): the
         # inexact operand is hi/lo split in-kernel; its partner is doubled
@@ -354,8 +360,9 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
     weight_names: list = []
 
-    n_scratch = (2 + bool(spec.feat_max) if spec.ret_feat else 1) \
-        if SB > 1 else 0
+    # logt carry always; plus ONE feat accumulator: tw (lin compositing)
+    # or the max/t_best carry (feat_max) — they are mutually exclusive.
+    n_scratch = (2 if spec.ret_feat else 1) if SB > 1 else 0
 
     def blocked_body(wrefs, refs, rgb_ref, depth_ref, acc_ref, w_out_ref,
                      feat_ref, pts_ref, scratch_refs):
@@ -365,9 +372,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         ``pl.when`` (their true weights are < eps; exact zeros are written).
         The out refs double as cross-block accumulators."""
         logt_scr = scratch_refs[0]
-        tw_scr = scratch_refs[1] if spec.ret_feat else None
+        tw_scr = scratch_refs[1] if (spec.ret_feat
+                                     and not spec.feat_max) else None
         # feat_max carry: col 0 = running max weight, col 1 = its t_mean.
-        mx_scr = scratch_refs[2] if (spec.ret_feat and spec.feat_max) \
+        mx_scr = scratch_refs[1] if (spec.ret_feat and spec.feat_max) \
             else None
 
         def rowmm(a, B):

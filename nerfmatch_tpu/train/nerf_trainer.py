@@ -155,7 +155,13 @@ class NerfTrainer:
                           P("data")),
                 out_specs=(P(), P(), P()), check_vma=False))
 
+            n_data = int(mesh.shape["data"])
+
             def step(params, opt_state, rays, rgbs, ts, key, mask=None):
+                assert rays.shape[0] % n_data == 0, (
+                    f"fused multi-device training needs the global batch "
+                    f"({rays.shape[0]}) divisible by the mesh data axis "
+                    f"({n_data}); adjust exp.batch_size")
                 return sharded(params, opt_state, rays, rgbs, ts, key, mask)
         else:
             jitted = jax.jit(body)

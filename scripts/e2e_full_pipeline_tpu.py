@@ -81,20 +81,33 @@ def ball_image(K, c2w):
     return np.clip(rgb, 0, 1).reshape(H, W, 3), hit.reshape(H, W)
 
 
-def build_scene(root: Path):
+def build_scene(root: Path, app_seqs: int = 0):
+    """``app_seqs`` > 0: Cambridge-style variant — train views split over
+    that many sequence dirs, each with its own exposure scale, so only a
+    per-sequence appearance embedding can fit all of them (reference
+    Cambridge protocol: appearance vocab = sequences,
+    ``nerfbase.py`` seq parsing).  Queries reuse seq 0's exposure."""
     root = Path(root)
     data_dir = root / "toy"
-    (data_dir / "seq-01").mkdir(parents=True, exist_ok=True)
     K = [[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]]
+    n_seq = max(app_seqs, 1)
+    rng = np.random.default_rng(7)
+    exposures = (1.0 if n_seq == 1
+                 else rng.uniform(0.75, 1.25, n_seq).round(3))
+    for s in range(n_seq):
+        (data_dir / f"seq-{s + 1:02d}").mkdir(parents=True, exist_ok=True)
 
-    def frames_for(angles, tag):
+    def frames_for(angles, tag, seq_of=lambda i: 0):
         frames = []
         for i, ang in enumerate(angles):
             eye = [CAM_R * np.cos(ang), 0.6 * np.sin(2 * ang),
                    CAM_R * np.sin(ang)]
             c2w = look_at(eye)
-            fname = f"seq-01/frame-{tag}{i:03d}.color.png"
+            s = seq_of(i)
+            fname = f"seq-{s + 1:02d}/frame-{tag}{i:03d}.color.png"
             img, hit = ball_image(np.asarray(K), c2w)
+            expo = exposures if n_seq == 1 else exposures[s]
+            img = np.clip(img * expo, 0, 1)
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 data_dir / fname)
             frames.append(dict(file_path=fname, intrinsics=K, height=H,
@@ -104,8 +117,12 @@ def build_scene(root: Path):
 
     tr_ang = np.linspace(0, 2 * np.pi, N_TRAIN, endpoint=False)
     te_ang = tr_ang[:N_TEST] + (tr_ang[1] - tr_ang[0]) * 0.43
-    train_frames = frames_for(tr_ang, "t")
+    # Round-robin sequence assignment: every sequence spans the circle, so
+    # each exposure is seen from all sides (fst normalization unaffected).
+    train_frames = frames_for(tr_ang, "t", seq_of=lambda i: i % n_seq)
     test_frames = frames_for(te_ang, "q")
+    if n_seq > 1:
+        print(f"scene: {n_seq} sequences, exposures {list(exposures)}")
     print(f"scene: ball covers "
           f"{np.mean([f['ball_frac'] for f in train_frames]):.0%} of a view")
     for f in train_frames + test_frames:
@@ -137,7 +154,7 @@ def build_scene(root: Path):
     return root
 
 
-def nerf_config(root, odir, epochs=10):
+def nerf_config(root, odir, epochs=10, app=False):
     return dict2namespace({
         "data": {"dataset": "NerfBaseDataset", "data_dir": str(root),
                  "scene": "toy", "img_wh": [W, H], "ray_type": "mip",
@@ -150,7 +167,7 @@ def nerf_config(root, odir, epochs=10):
         "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
                       "output_dim": 4, "skips": [4], "num_pts": 128},
         "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4,
-                      "type": "mip"},
+                      "type": "mip", "appearance_embed": app},
         "render": {"chunksize": 16384, "use_viewdirs": True,
                    "use_disp": False, "perturb": True, "white_bg": False,
                    "noise_std": 1.0, "use_fused_train": True},
@@ -162,9 +179,11 @@ def nerf_config(root, odir, epochs=10):
     })
 
 
-def matcher_cfg(root, cache_dir, odir, epochs=40, c2f=False):
+def matcher_cfg(root, cache_dir, odir, epochs=40, c2f=False,
+                multipair=False):
     return dict2namespace({
-        "data": {"dataset": "NeRFMatchPair", "data_dir": str(root),
+        "data": {"dataset": ("NeRFMatchMultiPair" if multipair
+                             else "NeRFMatchPair"), "data_dir": str(root),
                  "scenes": ["toy"], "scene": "toy",
                  "scene_dir": str(cache_dir),
                  "train_pair_txt": str(Path(root) / "pairs_train.txt"),
@@ -205,23 +224,34 @@ def main(root=None):
     from nerfmatch_tpu.train import nerf_trainer
     from nerfmatch_tpu.train.matcher_trainer import train_coarse
 
-    root = Path(root or "/tmp/e2e_sphere")
+    import os
+
+    # E2E_CAMBRIDGE=1: the config-4/5 family — per-sequence exposure
+    # jitter absorbed by appearance embeddings (fused extras_grad train
+    # path) + top-k multi-pair retrieval eval.
+    cambridge = bool(int(os.environ.get("E2E_CAMBRIDGE", "0")))
+    root = Path(root or ("/tmp/e2e_sphere_cam" if cambridge
+                         else "/tmp/e2e_sphere"))
     root.mkdir(parents=True, exist_ok=True)
     t_all = time.time()
-    build_scene(root)
+    build_scene(root, app_seqs=4 if cambridge else 0)
 
     # ---- stage 1: NeRF training (production dims, fused train path) ----
     t0 = time.time()
-    import os
     ncfg = nerf_config(root, root / "out_nerf",
-                       epochs=int(os.environ.get("E2E_NERF_EPOCHS", 10)))
+                       epochs=int(os.environ.get("E2E_NERF_EPOCHS", 10)),
+                       app=cambridge)
     out_cfg, params = nerf_trainer.train(ncfg)
     t_nerf = time.time() - t0
     print(f"[1] NeRF trained in {t_nerf:.0f}s")
+    if cambridge:
+        emb = np.asarray(params["embedding_a"]["weight"])
+        spread = np.abs(emb - emb.mean(0)).max()
+        print(f"    appearance vocab {emb.shape[0]}, row spread {spread:.3f}")
 
     # ---- stage 2: scene-point feature cache (ds=8, layer-3, lin) ----
     t0 = time.time()
-    ecfg = nerf_config(root, root / "out_nerf")
+    ecfg = nerf_config(root, root / "out_nerf", app=cambridge)
     ecfg.split = "test"
     ecfg.downsample = DS
     ecfg.data.downsample = DS
@@ -270,12 +300,23 @@ def main(root=None):
               ("c2f-fine", dict(iters=1, _ev=mev_c2f)),
               ("iters2", dict(iters=2)),
               ("iters2+inerf", dict(iters=2, inerf_conf=inerf_conf))]
+    if cambridge:
+        # Cambridge protocol: top-k refs merged per query (multi-pair).
+        from nerfmatch_tpu.data import NeRFMatchMultiPair
+
+        multi_ds = NeRFMatchMultiPair(
+            matcher_cfg(root, cache_dir, root / "out_match",
+                        multipair=True).data, split="test")
+        protos = [("single", dict(iters=1)),
+                  ("c2f-fine", dict(iters=1, _ev=mev_c2f)),
+                  ("multipair", dict(iters=1, _ds=multi_ds))]
     meds = {}
     for name, kw in protos:
         r_errs, t_errs, ns = [], [], []
         use_ev = kw.pop("_ev", mev)
-        for i in range(len(ds)):
-            batch = _collate([ds[i]])
+        use_ds = kw.pop("_ds", ds)
+        for i in range(len(use_ds)):
+            batch = _collate([use_ds[i]])
             out = use_ev.eval_batch(batch, renderer=renderer,
                                     renderer_params=params, mutual=True,
                                     rthres=6.0, solver="colmap", **kw)

@@ -41,22 +41,11 @@ jax.config.update("jax_enable_x64", False)
 # flags isolates each machine's entries.
 
 
-def _host_fingerprint() -> str:
-    import hashlib
-    import platform
+import sys
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = platform.processor()
-    return hashlib.sha256(
-        (platform.machine() + flags).encode()).hexdigest()[:12]
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _cache import setup_compilation_cache  # noqa: E402
 
-
-_cache_dir = (pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-              / _host_fingerprint())
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+setup_compilation_cache(jax)
 
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"

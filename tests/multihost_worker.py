@@ -18,17 +18,12 @@ import numpy as np
 
 
 def _cache_setup():
-    import hashlib
-    import platform
-
     import jax
 
-    with open("/proc/cpuinfo") as f:
-        flags = next((l for l in f if l.startswith("flags")), "")
-    fp = hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:12]
-    cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache" / fp
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from _cache import setup_compilation_cache
+
+    setup_compilation_cache(jax)
 
 
 def run(pid: int, nproc: int, coordinator: str):
