@@ -146,14 +146,10 @@ class NeRFMatchEvaluator:
             from ..parallel.mesh import make_mesh
 
             if bool(getattr(config, "point_shard", False)):
-                if self.coarse_only:
-                    self.point_shard_mesh = make_mesh(data=n_dev)
-                else:
-                    # NeRFMatcherMS's feature split differs (fmap tuple);
-                    # dropping the flag silently would misreport timings.
-                    logger.warning("--point_shard only applies to the "
-                                   "coarse-only matcher; ignoring it for "
-                                   "the c2f model (unsharded eval_match).")
+                # Both model families implement it: the coarse matcher
+                # shards its whole match program; NeRFMatcherMS shards the
+                # coarse dual-softmax and runs the fine stage replicated.
+                self.point_shard_mesh = make_mesh(data=n_dev)
             if bool(getattr(config, "pair_shard", False)):
                 self.pair_shard_mesh = make_mesh(data=n_dev)
 

@@ -299,6 +299,62 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             out["pt_cfeat"] = pt_n
         return out
 
+    def eval_match_point_sharded(self, params, mesh, img, pt_feat, pt3d,
+                                 im_mask=None, pt_mask=None,
+                                 mutual: bool = False,
+                                 match_thres: float = 0.0,
+                                 top_k: int | None = None):
+        """Point-axis-sharded c2f matching (overrides the coarse-only
+        implementation, whose 'feats' program doesn't know about the fine
+        map): the coarse (M, N) dual-softmax + mutual extraction shard
+        over ``mesh`` (``parallel/point_sharding.py`` — the O(M*N) term
+        that grows with merged multi-pair clouds), while the fine subpixel
+        stage runs replicated on the resulting per-token matches
+        (O(M*W^2), independent of N).  Matches :meth:`eval_match` on the
+        same inputs (tests/test_parallel.py)."""
+        from .attention import fused_attention_scope
+        from ..ops.matching import dense_to_match_lists
+        from ..parallel.point_sharding import sharded_point_match
+
+        cache = self.__dict__.setdefault("_eval_jit_cache", {})
+        if ("feats_ms",) not in cache:
+            def feats(params, fmap, pt_feat, pt3d):
+                with fused_attention_scope(True):
+                    im_cfeat, fmap_f = self.im_feat_from_fmap(params, fmap)
+                    pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d)
+                    im_cfeat, pt_cfeat = self.apply_coarse_former(
+                        params, im_cfeat, pt_cfeat)
+                    return im_cfeat, pt_cfeat, fmap_f
+
+            cache[("feats_ms",)] = jax.jit(feats)
+        if ("fine_ps",) not in cache:
+            def fine(params, fmap_f, im_cfeat, pt_cfeat, j_ids, coarse_w):
+                with fused_attention_scope(True):
+                    B, M = j_ids.shape
+                    b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
+                    i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
+                    return self.forward_fine(
+                        params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
+                        j_ids.reshape(-1), coarse_w, identity_list=True)
+
+            cache[("fine_ps",)] = jax.jit(fine, static_argnums=(5,))
+
+        fmap = self._eval_jit("backbone", False, 0.0)(params, img)
+        im_cfeat, pt_cfeat, fmap_f = cache[("feats_ms",)](
+            params, fmap, pt_feat, pt3d)
+        matches = sharded_point_match(
+            mesh, im_cfeat, pt_cfeat, params["temperature"], im_mask,
+            pt_mask, temp_type=self.cfg.temp_type, mutual=mutual,
+            threshold=match_thres)
+        expec_f = cache[("fine_ps",)](params, fmap_f, im_cfeat, pt_cfeat,
+                                      matches["j_ids"],
+                                      int(img.shape[2]) // 8)
+        out = dict(matches)
+        out["expec_f"] = expec_f
+        if top_k:
+            out["lists"] = dense_to_match_lists(matches, top_k)
+        return out
+
     def forward_multi_pair(self, params, img, pt_feat, pt3d, im_mask=None,
                            pt_mask=None, mutual: bool = False,
                            match_thres: float = 0.0, fmap=None,

@@ -291,6 +291,55 @@ def test_point_sharded_eval_match_equals_dense():
                               np.asarray(ref["lists"][k])[lv]), k
 
 
+def test_point_sharded_ms_eval_match_equals_dense():
+    """The c2f (NeRFMatcherMS) point-sharded eval: coarse dual-softmax
+    sharded over the mesh, fine subpixel stage replicated — must match the
+    dense eval_match including expec_f and the top-k lists."""
+    from nerfmatch_tpu.models.matcher_c2f import (
+        C2FMatcherConfig, NeRFMatcherMS)
+
+    cfg = C2FMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        ffeat_dim=16, im_pe=True, im_sa=1, im_sa_type="share", pt_sa=1,
+        pt_sa_type="full", pt_pe=True, coarse_layers=1, fine_sa=1,
+        fsa_type="full", win_sz=5, cat_c_feat=True,
+        fused_attention_train=False)
+    model = NeRFMatcherMS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(4)
+    bs, hw, n = 1, 32, 64  # n divisible by the 8-device mesh
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)
+    m = (hw // 8) ** 2
+    im_mask = jnp.asarray(rng.uniform(size=(bs, m)) > 0.1, jnp.float32)
+    pt_mask = jnp.asarray(rng.uniform(size=(bs, n)) > 0.1, jnp.float32)
+
+    ref = model.eval_match(params, img, pt_feat, pt3d, im_mask=im_mask,
+                           pt_mask=pt_mask, mutual=True, top_k=32)
+    mesh = make_mesh(data=8)
+    got = model.eval_match_point_sharded(
+        params, mesh, img, pt_feat, pt3d, im_mask=im_mask, pt_mask=pt_mask,
+        mutual=True, top_k=32)
+
+    assert np.array_equal(np.asarray(got["valid"]), np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    assert np.array_equal(np.asarray(got["j_ids"])[v],
+                          np.asarray(ref["j_ids"])[v])
+    assert np.allclose(np.asarray(got["mconf"]), np.asarray(ref["mconf"]),
+                       atol=1e-6)
+    # expec_f depends on j_ids; compare on valid tokens (same layout:
+    # identity (b, i) list -> (B*M, 3)).
+    e_ref = np.asarray(ref["expec_f"]).reshape(bs, m, 3)
+    e_got = np.asarray(got["expec_f"]).reshape(bs, m, 3)
+    assert np.allclose(e_got[v], e_ref[v], atol=1e-5)
+    lv = np.asarray(ref["lists"]["valid"])
+    for k in ("i_ids", "j_ids", "valid"):
+        assert np.array_equal(np.asarray(got["lists"][k])[lv],
+                              np.asarray(ref["lists"][k])[lv]), k
+
+
 def test_pair_sharded_multi_pair_equals_lax_map():
     """forward_multi_pair with pair_mesh == the lax.map path, including the
     fine expec_f, with K=5 pairs padded onto the 8-device mesh."""
