@@ -211,6 +211,49 @@ def test_generate_7scenes_annotations(tmp_path):
     assert np.allclose(meta["frames"][0]["transform_matrix"], np.eye(4))
 
 
+def test_generate_cambridge_annotations(tmp_path):
+    """Cambridge NVM parsing (reference generate_cambridge_annotations.py):
+    quaternion w2c -> c2w transpose, camera-center translation, jpg->png
+    rename, ill-posed (|c| > 1e5) cameras skipped, split files honored."""
+    from nerfmatch_tpu.data.loading import (
+        generate_cambridge_annotations, qvec2rotmat)
+
+    d = tmp_path / "ShopFacade"
+    d.mkdir(parents=True)
+    # Camera 1: 30deg rotation about z, center (1, 2, 3).  Camera 2:
+    # identity.  Camera 3: ill-posed (center 1e6) -> must be skipped.
+    ang = np.pi / 6
+    q1 = [np.cos(ang / 2), 0.0, 0.0, np.sin(ang / 2)]
+    rows = [
+        f"seq1/frame1.jpg 744.4 {q1[0]} {q1[1]} {q1[2]} {q1[3]} 1 2 3 0 0",
+        "seq1/frame2.jpg 600.0 1 0 0 0 0.5 0 -0.5 0 0",
+        "seq1/frame3.jpg 600.0 1 0 0 0 1e6 0 0 0 0",
+    ]
+    (d / "reconstruction.nvm").write_text(
+        "NVM_V3\n\n" + f"{len(rows)}\n" + "\n".join(rows) + "\n")
+    header = "h1\nh2\nh3\n"
+    (d / "dataset_train.txt").write_text(
+        header + "seq1/frame1.png x\nseq1/frame3.png x\n")
+    (d / "dataset_test.txt").write_text(header + "seq1/frame2.png x\n")
+
+    generate_cambridge_annotations(tmp_path)
+    train = json.loads((d / "transforms_train.json").read_text())
+    test = json.loads((d / "transforms_test.json").read_text())
+    # frame3 is ill-posed -> dropped even though listed in the split.
+    assert [f["file_path"] for f in train["frames"]] == ["seq1/frame1.png"]
+    assert [f["file_path"] for f in test["frames"]] == ["seq1/frame2.png"]
+
+    c2w = np.asarray(train["frames"][0]["transform_matrix"])
+    assert np.allclose(c2w[:3, :3], qvec2rotmat(np.asarray(q1)).T)
+    assert np.allclose(c2w[:3, 3], [1, 2, 3])
+    K = np.asarray(train["frames"][0]["intrinsics"])
+    assert K[0, 0] == 744.4 and K[0, 2] == 960 and K[1, 2] == 540
+
+    c2w2 = np.asarray(test["frames"][0]["transform_matrix"])
+    assert np.allclose(c2w2[:3, :3], np.eye(3))
+    assert np.allclose(c2w2[:3, 3], [0.5, 0, -0.5])
+
+
 def test_mixed_dataset_concat(scene_dir):
     """Mixed-dataset config concatenates multiscene datasets."""
     from nerfmatch_tpu.data import init_mixed_dataset
