@@ -70,6 +70,9 @@ def build_conf_gt(qpt2d, rpt3d, qK, qw2c, img_wh, ds, qmask, rmask):
     w, h = img_wh
     qpt2d_proj = project_points_np(qK, qw2c[:3, :3], qw2c[:3, 3], rpt3d)
     ds_ids = np.floor(qpt2d_proj / ds).astype(np.int64)
+    # Reference-faithful (nerfmatch_dataset.py:330): `> 0` drops grid
+    # row/col 0, and there is no positive-depth check — kept verbatim so
+    # training GT matches the reference's supervision distribution.
     visible = ((ds_ids.min(-1) > 0)
                & (ds_ids[:, 0] < (w // ds))
                & (ds_ids[:, 1] < (h // ds)))
@@ -79,8 +82,13 @@ def build_conf_gt(qpt2d, rpt3d, qK, qw2c, img_wh, ds, qmask, rmask):
     conf[q_ids, r_ids] = 1.0
     conf = qmask[:, None] * rmask[None, :] * visible[None, :] * conf
     if conf.sum() < 1:
+        # Zero-match fallback: one random false supervision (the
+        # reference's DDP-deadlock workaround, nerfmatch_dataset.py:347-351
+        # — which draws BOTH indices from shape[0]; we draw the column
+        # from shape[1] so non-square multipair/sampled layouts can't
+        # index out of range).
         conf[int(random.random() * (conf.shape[0] - 1)),
-             int(random.random() * (conf.shape[0] - 1))] = 1.0
+             int(random.random() * (conf.shape[1] - 1))] = 1.0
     return conf.astype(np.float32), qpt2d_proj.astype(np.float32)
 
 
@@ -113,8 +121,11 @@ class NeRFMatchBase:
         img, sK = process_img(self.img_wh, img_path)
         K = sK @ np.asarray(frame["intrinsics"], np.float32)
         pt2d = pixel_grid_np(w, h, self.model_ds)
-        pt3d, pt_feat, pt_mask, unnorm_scene = load_frame_3d(
+        pt3d, pt_feat, _, unnorm_scene = load_frame_3d(
             frame, self.scene_dir, use_msk=self.use_msk)
+        # Identity pairs use all-ones masks BY DESIGN (reference
+        # nerfmatch_dataset.py:111 does the same; use_msk only shapes the
+        # masks of the retrieval-Pair datasets below).
         mask = np.ones(len(pt3d), bool)
         return {
             "image_path": img_path,

@@ -58,14 +58,17 @@ def load_renderer_params(ckpt_path, stop_layer: int = -1, config=None):
     """
     ckpt_path = str(ckpt_path)
     if _is_native_ckpt(ckpt_path):
-        _, _, _, cfg = load_checkpoint(Path(ckpt_path), None)
+        # Template-free restore: orbax returns the saved pytree as-is, so
+        # the appearance vocab comes from the STORED table (a
+        # placeholder-sized template would fail orbax's strict shape
+        # validation for any real dataset size).
+        raw, _, _, cfg = load_checkpoint(Path(ckpt_path), None)
         cfg = config or cfg
         vocab = None
         if getattr(cfg.embedding, "appearance_embed", False):
-            vocab = 10_000  # template overridden by stored shapes on restore
+            vocab = int(np.shape(raw["embedding_a"]["weight"])[0])
         renderer = NerfRenderer(cfg, num_frames=vocab, stop_layer=stop_layer)
-        template = renderer.init_params(jax.random.PRNGKey(0))
-        params, _, _, _ = load_checkpoint(Path(ckpt_path), template)
+        params = jax.tree_util.tree_map(jnp.asarray, raw)
         return renderer, params, cfg
 
     state, hparams = load_torch_state_dict(ckpt_path)
@@ -154,11 +157,20 @@ class NerfEvaluator:
             config.data, num_workers=1, split=self.split)
 
         ckpt = str(getattr(config, "ckpt", "eval"))
-        self.cache_dir = Path(
-            ckpt.replace("checkpoints/", "").replace(
-                ".ckpt",
-                f"_rendered_{config.data.img_wh[0]}-{config.data.img_wh[1]}"
-                f"_{self.split}"))
+        tag = (f"_rendered_{config.data.img_wh[0]}-{config.data.img_wh[1]}"
+               f"_{self.split}")
+        base = ckpt.replace("checkpoints/", "")
+        # Native orbax checkpoints are directories (no ".ckpt" substring):
+        # append the tag so caches never land inside the checkpoint dir or
+        # collide across resolutions/splits.
+        base = (base.replace(".ckpt", tag) if ".ckpt" in base
+                else base.rstrip("/") + tag)
+        self.cache_dir = Path(base)
+        mvs = float(getattr(renderer.cfg, "mip_var_scale", -1.0))
+        if mvs > -1:
+            # Reference nerf_evaluator.py:195-196: variance-scale ablations
+            # cache separately.
+            self.cache_dir = self.cache_dir / f"mip_var{mvs}"
 
     # ------------------------------------------------------------------
     def eval_batch(self, batch, comp_metric: bool = True,
@@ -211,7 +223,8 @@ class NerfEvaluator:
         results = defaultdict(list)
         for i, batch in enumerate(data_loader):
             preds, metrics = self.eval_batch(batch)
-            psnr = float(metrics["rgb_fine_psnr"])
+            psnr = float(metrics.get("rgb_fine_psnr",
+                                     metrics.get("rgb_coarse_psnr")))
             results["psnr"].append(psnr)
             img_idx = batch["img_idx"][0]
             if isinstance(img_idx, (list, np.ndarray)):
@@ -244,11 +257,14 @@ class NerfEvaluator:
         # compositing mode actually takes effect.
         for cached in ("_render_jit", "_fused_eval", "_fused_eval_scan"):
             self.renderer.__dict__.pop(cached, None)
+        ds_tag = f"ds{getattr(self.config, 'downsample', 8)}{feat_comb}"
         if cache_dir is None:
-            scene_dir = self.cache_dir / "scene" / \
-                f"ds{getattr(self.config, 'downsample', 8)}{feat_comb}"
+            scene_dir = self.cache_dir / "scene" / ds_tag
         else:
-            scene_dir = Path(cache_dir) / "ds8lin"
+            # Tag by the ACTUAL downsample/compositing mode — a fixed
+            # "ds8lin" name would let a lin-mode consumer silently read
+            # max-composited features.
+            scene_dir = Path(cache_dir) / ds_tag
         scene_dir.mkdir(parents=True, exist_ok=True)
         logger.info(f"Scene-point cache dir: {scene_dir}")
 

@@ -117,6 +117,10 @@ def _transform_leaf(torch_val, our_leaf, path):
     if v.ndim == 4 and our_leaf.ndim == 4:
         return np.transpose(v, (2, 3, 1, 0))  # OIHW -> HWIO
     if v.ndim == 2 and our_leaf.ndim == 2 and path[-1] == "weight":
+        # Embedding tables (nn.Embedding, e.g. embedding_a) are (vocab,
+        # dim) in BOTH layouts — only nn.Linear weights transpose.
+        if any("embedding" in str(p) for p in path):
+            return v
         return v.T
     return v.reshape(np.shape(our_leaf))
 

@@ -222,6 +222,20 @@ def test_infer_appearance_vocab():
     assert infer_appearance_vocab({}) is None
 
 
+def test_embedding_table_not_transposed():
+    """nn.Embedding tables are (vocab, dim) in BOTH layouts — only Linear
+    weights transpose.  A Cambridge app ckpt (embedding_a (V, 16)) must
+    convert row-identical, including the silent V == dim square case."""
+    for v in (37, 16):
+        state = {"embedding_a.weight":
+                 np.arange(v * 16, dtype=np.float32).reshape(v, 16)}
+        template = {"embedding_a": {"weight": jnp.zeros((v, 16))}}
+        params, missing = convert_torch_params(template, state)
+        assert not missing
+        assert np.array_equal(np.asarray(params["embedding_a"]["weight"]),
+                              state["embedding_a.weight"]), v
+
+
 def test_native_checkpoint_roundtrip(tmp_path):
     import optax
     from nerfmatch_tpu.config import dict2namespace
