@@ -51,12 +51,15 @@ def load_frame_3d(frame, scene_dir, use_msk=None, return_pose: bool = False):
     pt_feat = scene_pts["pt_feat"]
 
     mask = np.ones(len(pt3d), dtype=bool)
-    if use_msk and "pt_mask" in scene_pts:
-        if use_msk == "sky":
+    # Gate each mode on ITS cache key.  (The reference gates everything on
+    # "pt_mask" — data_loading.py:54 — which its own cache writer never
+    # emits, so use_msk was dead there; our caches carry sky_mask.)
+    if use_msk:
+        if use_msk == "sky" and "sky_mask" in scene_pts:
             mask = (1 - scene_pts["sky_mask"][0].reshape(-1)).astype(bool)
-        elif use_msk == "corr":
+        elif use_msk == "corr" and "corr_mask" in scene_pts:
             mask = (1 - scene_pts["corr_mask"].reshape(-1)).astype(bool)
-        else:
+        elif "pt_mask" in scene_pts:
             mask = (1 - scene_pts["pt_mask"][0].reshape(-1)).astype(bool)
 
     if return_pose:

@@ -192,6 +192,10 @@ class NerfBaseDataset:
             train_inds = np.asarray(
                 [i for i in sample_inds if i not in val_inds])
             if self.max_sample_num and len(train_inds) > self.max_sample_num:
+                # Reference-faithful (nerfbase.py:182): draws WITH
+                # replacement (duplicate frames, some omitted) — kept
+                # verbatim so subsampled training sees the reference's
+                # frame distribution.
                 np.random.seed(1357)
                 train_inds = np.random.choice(train_inds, self.max_sample_num)
             self.split_inds = (val_inds if self.split in ["val", "val_check"]
@@ -202,11 +206,12 @@ class NerfBaseDataset:
         self.split_inds = np.sort(np.asarray(self.split_inds))
 
     # ------------------------------------------------------------------
-    def mask_img_bg(self, img, sample_idx):
+    def mask_img_bg(self, img, sample_idx, ret_mask: bool = False):
         bg_mask, _ = process_img(self.img_wh, self.mask_bg_paths[sample_idx],
                                  load_mask=True)
         bg_mask = np.round(bg_mask)
-        return img * (1 - bg_mask) + bg_mask * np.array([1.0, 1.0, 1.0])
+        img = img * (1 - bg_mask) + bg_mask * np.array([1.0, 1.0, 1.0])
+        return (img, bg_mask) if ret_mask else img
 
     def load_sample(self, sample_idx, exclude_mask: bool = True,
                     validation: bool = False, camera_only: bool = False,
@@ -219,8 +224,9 @@ class NerfBaseDataset:
         img, sK = process_img(self.img_wh, self.img_paths[sample_idx])
         K = sK.astype(np.float64) @ self.org_Ks[sample_idx]
         img_w, img_h = self.img_wh
+        bg_mask = None
         if self.white_bg:
-            img = self.mask_img_bg(img, sample_idx)
+            img, bg_mask = self.mask_img_bg(img, sample_idx, ret_mask=True)
 
         img_ijs = np.argwhere(np.ones_like(img[..., 0], dtype=bool))
         rgbs = img.reshape(-1, 3).astype(np.float32)
@@ -253,6 +259,9 @@ class NerfBaseDataset:
             "cam2scene": cam2s_scene.astype(np.float32),
             "cam2scene_org": self.cam2scenes[sample_idx].astype(np.float32),
         }
+        if bg_mask is not None and self.downsample > 1:
+            # Kept only for _data_downsample's sky_mask (cache grids).
+            sample["_bg"] = bg_mask.reshape(-1, 1).astype(np.float32)
 
         if self.load_transient:
             mask, _ = process_img(self.img_wh, self.mask_trnz_paths[sample_idx],
@@ -275,17 +284,26 @@ class NerfBaseDataset:
         ds = self.downsample
         img_w, img_h = sample["img_wh"]
         sample["r_orig"] = sample["rays"]
-        for k in ["rgbs", "rays", "img_ijs", "ts", "mask"]:
+        for k in ["rgbs", "rays", "img_ijs", "ts", "mask", "_bg"]:
             if k in sample:
                 v = sample[k].reshape(img_h, img_w, -1)
                 sample[k] = v[ds // 2 :: ds, ds // 2 :: ds]
         sample["img_wh"] = sample["img_wh"] // ds
-        if self.white_bg and "mask" in sample:
+        if self.white_bg and ("_bg" in sample or "mask" in sample):
             # Sky/bg mask at the cache grid (Cambridge SAM-masked path):
-            # 1 = masked-out (sky or transient).
-            full = (1 - sample["mask"].reshape(-1)).reshape(
-                img_h // ds, img_w // ds)
-            sample["sky_mask"] = full[None]
+            # 1 = masked-out (sky OR transient).  The reference's own
+            # downsample path (nerfbase.py:251-253) references unbound
+            # locals and can never run — this reconstructs its intent so
+            # load_frame_3d(use_msk='sky') can actually drop the
+            # white-composited far-sphere sky points from caches.
+            gh, gw = img_h // ds, img_w // ds
+            sky = np.zeros((gh, gw), np.float32)
+            if "_bg" in sample:
+                sky = np.maximum(sky, sample.pop("_bg").reshape(gh, gw))
+            if "mask" in sample:
+                sky = np.maximum(sky,
+                                 1 - sample["mask"].reshape(gh, gw))
+            sample["sky_mask"] = sky[None]
 
     def load_retrieval_pair_sample(self, sample_idx, validation: bool = True):
         kid = sample_idx % len(self.pair_ids[sample_idx])

@@ -190,6 +190,11 @@ def inerf_refinement(evaluator, batch, renderer, renderer_params,
     cache_key = (id(renderer), H, W, ds, num_optim, lrate, lrdecay,
                  use_match_loss)
     if cache_key not in _STEP_CACHE:
+        if len(_STEP_CACHE) >= 4:
+            # Bound the cache: multi-scene eval builds a renderer per
+            # scene, and each entry pins its compiled programs + captured
+            # renderer for the process lifetime.
+            _STEP_CACHE.clear()
         _STEP_CACHE[cache_key] = _make_step(
             renderer, H, W, ds, num_optim, lrate, lrdecay, use_match_loss,
             matcher=evaluator.model if use_match_loss else None)
@@ -220,9 +225,9 @@ def inerf_refinement(evaluator, batch, renderer, renderer_params,
         if overlay_ims is not None:
             # Blend the refined render over the downsampled query for the
             # failure-case GIF (reference :457-461).
-            hw = int(np.sqrt(rgb.shape[0]))
-            rendered = np.clip(np.asarray(rgb).reshape(hw, hw, 3), 0, 1)
-            query = np.asarray(img_ds).reshape(hw, hw, 3)
+            gh, gw = len(range(ds // 2, H, ds)), len(range(ds // 2, W, ds))
+            rendered = np.clip(np.asarray(rgb).reshape(gh, gw, 3), 0, 1)
+            query = np.asarray(img_ds).reshape(gh, gw, 3)
             overlay_ims.append(
                 (255 * np.clip(0.7 * rendered + 0.3 * query, 0, 1)).astype("uint8"))
 

@@ -212,14 +212,23 @@ def save_checkpoint(ckpt_dir, step: int, params, opt_state=None, config=None,
         meta["config"] = namespace2dict(config) if not isinstance(config, dict) \
             else config
     (path / "meta.json").write_text(json.dumps(meta, default=float))
-    # Prune old checkpoints (keep latest ``keep`` by step).
-    all_ckpts = sorted(
-        (p for p in ckpt_dir.glob(f"{name}_*") if p.is_dir()),
-        key=lambda p: int(p.name.rsplit("_", 1)[1]))
-    for old in all_ckpts[:-keep]:
+    # Prune old checkpoints (keep latest ``keep`` by step).  Match the
+    # EXACT name stem: a bare "best_*" glob would also claim (and delete)
+    # "best_tmed_*" checkpoints.
+    for old in _named_checkpoints(ckpt_dir, name)[:-keep]:
         import shutil
         shutil.rmtree(old)
     return path
+
+
+def _named_checkpoints(ckpt_dir, name: str):
+    """Checkpoint dirs named exactly ``{name}_{step}``, sorted by step."""
+    import re
+
+    pat = re.compile(rf"^{re.escape(name)}_(\d+)$")
+    return sorted((p for p in Path(ckpt_dir).glob(f"{name}_*")
+                   if p.is_dir() and pat.match(p.name)),
+                  key=lambda p: int(p.name.rsplit("_", 1)[1]))
 
 
 def load_checkpoint(path, params_template, opt_state_template=None):
@@ -253,8 +262,7 @@ def latest_checkpoint(ckpt_dir, name: str = "ckpt"):
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
-    ckpts = sorted((p for p in ckpt_dir.glob(f"{name}_*") if p.is_dir()),
-                   key=lambda p: int(p.name.rsplit("_", 1)[1]))
+    ckpts = _named_checkpoints(ckpt_dir, name)
     return ckpts[-1] if ckpts else None
 
 

@@ -397,13 +397,23 @@ def _train_matcher(config, coarse: bool):
                                   debug=debug)
 
     start_epoch = 0
+    best_loss, best_tmed = np.inf, np.inf
     last = latest_checkpoint(run_dir / "checkpoints", name="last")
     if last is not None:
+        import json
+
         params, opt_state, start_epoch, _ = load_checkpoint(last, params, opt_state)
-        logger.info(f"Resumed from {last} at epoch {start_epoch}")
+        # Restore the best-so-far scores too (the reference's Lightning
+        # ModelCheckpoint keeps them): a reset-to-inf resume would let the
+        # first post-resume val epoch overwrite a genuinely-better "best"
+        # checkpoint.
+        meta = json.loads((Path(last) / "meta.json").read_text())
+        best_loss = float(meta.get("best_loss", np.inf))
+        best_tmed = float(meta.get("best_tmed", np.inf))
+        logger.info(f"Resumed from {last} at epoch {start_epoch} "
+                    f"(best_loss={best_loss:.4g} best_tmed={best_tmed:.4g})")
 
     key = jax.random.PRNGKey(exp.seed)
-    best_loss, best_tmed = np.inf, np.inf
     rthres = getattr(config.model, "rthres", 1)
     coarse_only_epochs = int(getattr(config.optim, "coarse_only_epochs", 0) or 0)
     max_steps = 5 if debug else None
@@ -439,18 +449,24 @@ def _train_matcher(config, coarse: bool):
         # Validation: matching losses (jitted, reference training=False
         # semantics) + host-PnP pose metrics from the same forward.
         if (epoch + 1) % getattr(exp, "check_epochs", 1) == 0:
+            # Multi-host: params are replicated over the GLOBAL mesh, so
+            # val inputs must be too (every process loads the identical
+            # unpartitioned val split) — a process-local jnp.asarray would
+            # fail jit's device check against the global params.
+            vput = (jnp.asarray if jax.process_count() == 1
+                    else (lambda x: replicate_params(jnp.asarray(x), mesh)))
             val_agg, r_errs, t_errs = {}, [], []
             for vi, batch in enumerate(val_loader):
                 if debug and vi >= 2:
                     break
                 vb = _model_inputs(batch)
-                vargs = [params, jnp.asarray(vb["image"]),
-                         jnp.asarray(vb["pt_feat"]), jnp.asarray(vb["pt3d"]),
-                         jnp.asarray(vb["im_mask"]), jnp.asarray(vb["pt_mask"]),
-                         jnp.asarray(vb["conf_gt"])]
+                vargs = [params, vput(vb["image"]),
+                         vput(vb["pt_feat"]), vput(vb["pt3d"]),
+                         vput(vb["im_mask"]), vput(vb["pt_mask"]),
+                         vput(vb["conf_gt"])]
                 if not coarse:
-                    vargs += [jnp.asarray(vb["pt2d"]),
-                              jnp.asarray(vb["pt2d_proj"]), coarse_only]
+                    vargs += [vput(vb["pt2d"]),
+                              vput(vb["pt2d_proj"]), coarse_only]
                 vm, out = stepper.val_forward(*vargs)
                 for k_, v in vm.items():
                     val_agg.setdefault(k_, []).append(float(v))
@@ -488,7 +504,9 @@ def _train_matcher(config, coarse: bool):
                 save_checkpoint(run_dir / "checkpoints", epoch + 1, params,
                                 opt_state, config, name="best_tmed", keep=1)
         save_checkpoint(run_dir / "checkpoints", epoch + 1, params, opt_state,
-                        config, name="last", keep=1)
+                        config, name="last", keep=1,
+                        extra={"best_loss": float(best_loss),
+                               "best_tmed": float(best_tmed)})
     mlog.close()
     return config, params
 

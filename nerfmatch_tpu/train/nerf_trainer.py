@@ -247,15 +247,23 @@ def train(config):
 
     # Resume
     start_epoch = 0
+    best_psnr = -np.inf
     last = latest_checkpoint(run_dir / "checkpoints", name="last")
     if last is not None:
+        import json
+
         params, opt_state, start_epoch, _ = load_checkpoint(
             last, params, opt_state)
-        logger.info(f"Resumed from {last} at epoch {start_epoch}")
+        # Keep the best-so-far score across resumes (Lightning
+        # ModelCheckpoint semantics) — else the first post-resume val
+        # overwrites a better "best" checkpoint.
+        meta = json.loads((Path(last) / "meta.json").read_text())
+        best_psnr = float(meta.get("best_psnr", -np.inf))
+        logger.info(f"Resumed from {last} at epoch {start_epoch} "
+                    f"(best_psnr={best_psnr:.3f})")
 
     key = jax.random.PRNGKey(exp.seed)
     rng = np.random.default_rng(exp.seed)
-    best_psnr = -np.inf
     batch_size = exp.batch_size
     use_sem_mask = bool(getattr(getattr(config, "loss", None),
                                 "use_sem_mask", False))
@@ -337,6 +345,7 @@ def train(config):
                                 opt_state, config, name="best", keep=3,
                                 extra={"val_psnr": psnr_v})
         save_checkpoint(run_dir / "checkpoints", epoch + 1, params, opt_state,
-                        config, name="last", keep=1)
+                        config, name="last", keep=1,
+                        extra={"best_psnr": float(best_psnr)})
     mlog.close()
     return config, params

@@ -152,10 +152,15 @@ def make_lr_schedule(config, base_lr: float | None = None):
 
 
 def config_adaptive_lr(config):
-    """Batch-size-adaptive LR: ``clr * (num_devices * batch) / cbs``
-    (reference ``nerfmatch_coarse_trainer.py:495-500``), with the device mesh
-    size in place of gpu_num."""
-    num_devices = int(getattr(config, "gpu_num", 1))
-    true_batch = num_devices * config.exp.batch_size
+    """Batch-size-adaptive LR: ``clr * true_batch / cbs`` (reference
+    ``nerfmatch_coarse_trainer.py:495-500``).
+
+    The reference computes ``true_batch = gpu_num * batch_size`` because
+    its ``batch_size`` is PER-RANK (Lightning DDP dataloaders).  In this
+    port ``exp.batch_size`` is already the GLOBAL batch (``DataLoader`` /
+    ``shard_batch`` split it across the mesh), so it IS the true batch —
+    multiplying by the device count again would scale the LR by the mesh
+    size."""
+    true_batch = config.exp.batch_size
     true_lr = config.optim.clr * true_batch / config.optim.cbs
     return true_lr, true_batch

@@ -262,6 +262,17 @@ def test_checkpoint_pruning(tmp_path):
     names = sorted(p.name for p in tmp_path.glob("ckpt_*"))
     assert names == ["ckpt_3", "ckpt_4"]
 
+    # Name-stem pruning must be EXACT: saving "best" (keep=1) must never
+    # claim/delete "best_tmed" checkpoints, and latest_checkpoint("best")
+    # must not return a best_tmed dir.
+    save_checkpoint(tmp_path, 11, params, name="best_tmed", keep=1)
+    save_checkpoint(tmp_path, 21, params, name="best", keep=1)
+    save_checkpoint(tmp_path, 31, params, name="best", keep=1)
+    names = sorted(p.name for p in tmp_path.glob("best*"))
+    assert names == ["best_31", "best_tmed_11"], names
+    assert latest_checkpoint(tmp_path, name="best").name == "best_31"
+    assert latest_checkpoint(tmp_path, name="best_tmed").name == "best_tmed_11"
+
 
 def test_coarse_to_c2f_warm_start_key_surgery(tmp_path):
     """Coarse-saved and MS-saved torch ckpts both warm-start a c2f model

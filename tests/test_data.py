@@ -211,6 +211,47 @@ def test_generate_7scenes_annotations(tmp_path):
     assert np.allclose(meta["frames"][0]["transform_matrix"], np.eye(4))
 
 
+def test_sky_mask_chain(scene_dir, tmp_path):
+    """white_bg datasets must flag BG (sky) pixels in the ds-grid sky_mask
+    (the reference's own downsample path, nerfbase.py:251-253, references
+    unbound locals and can never run), and load_frame_3d(use_msk='sky')
+    must apply a cached sky_mask without requiring a pt_mask key."""
+    # Left-half-white bg masks for every frame.
+    mroot = tmp_path / "masks" / "masks_bg" / "toy" / "seq-01"
+    mroot.mkdir(parents=True)
+    bg = np.zeros((H, W), np.uint8)
+    bg[:, : W // 2] = 255
+    for i in range(N_FRAMES):
+        Image.fromarray(bg).save(mroot / f"frame-{i:03d}.color.png")
+
+    cfg = nerf_config(scene_dir)
+    cfg.white_bg = True
+    cfg.mask_dir = str(tmp_path / "masks")
+    cfg.downsample = DS
+    ds = NerfBaseDataset(cfg, split="test")
+    s = ds[0]
+    assert "sky_mask" in s
+    sky = s["sky_mask"][0]
+    assert sky.shape == (H // DS, W // DS)
+    # Grid centers at columns DS/2, 3DS/2, ... -> left half sky.
+    assert np.all(sky[:, : W // (2 * DS)] == 1)
+    assert np.all(sky[:, W // (2 * DS):] == 0)
+    # White compositing actually applied where bg==1.
+    rgb = s["rgbs"].reshape(H // DS, W // DS, 3)
+    assert np.all(rgb[:, : W // (2 * DS)] == 1.0)
+
+    # use_msk='sky' consumes the cached sky_mask (no pt_mask needed).
+    frame = {"file_path": "seq-01/frame-000.color.png"}
+    np.save(tmp_path / f"{frame_cache_name(frame['file_path'])}.npy",
+            dict(pt3d=np.zeros((sky.size, 3), np.float32),
+                 pt_feat=np.zeros((sky.size, 4), np.float32),
+                 unnorm_scene=np.eye(4, dtype=np.float32),
+                 sky_mask=s["sky_mask"]))
+    _, _, mask, _ = load_frame_3d(frame, str(tmp_path), use_msk="sky")
+    assert mask.sum() == (sky == 0).sum()
+    assert np.array_equal(mask, sky.reshape(-1) == 0)
+
+
 def test_generate_cambridge_annotations(tmp_path):
     """Cambridge NVM parsing (reference generate_cambridge_annotations.py):
     quaternion w2c -> c2w transpose, camera-center translation, jpg->png

@@ -102,9 +102,13 @@ def test_poly_and_chained():
 
 
 def test_adaptive_lr():
+    # exp.batch_size is the GLOBAL batch in this port (sharded across the
+    # mesh), so it is the true batch regardless of device count — the
+    # reference multiplies by gpu_num only because ITS batch_size is
+    # per-rank.
     cfg = dict2namespace({
         "gpu_num": 8,
-        "exp": {"batch_size": 3},
+        "exp": {"batch_size": 24},
         "optim": {"clr": 8e-4, "cbs": 16},
     })
     lr, batch = config_adaptive_lr(cfg)
