@@ -23,7 +23,8 @@ def build_parser():
     p.add_argument("--scene_anno_path", type=str, default=None)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--feat_comb", type=str, default="lin")
-    p.add_argument("--img_wh", type=int, nargs="*", default=[480, 480])
+    p.add_argument("--img_wh", type=int, nargs=2, default=[480, 480],
+                   metavar=("W", "H"))
     p.add_argument("--downsample", type=int, default=1)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--dataset", type=str, default=None)
@@ -56,12 +57,21 @@ def main(argv=None):
     if not args.dataset:
         return run_one(args)
     ckpt, cache_dir = args.ckpt, args.cache_dir
+    ran = 0
     for scene in SCENES[args.dataset]:
         args.ckpt = ckpt.replace("#scene", scene)
         args.cache_dir = (cache_dir.replace("#scene", scene)
                           if cache_dir else None)
         if os.path.exists(args.ckpt):
             run_one(args)
+            ran += 1
+        else:
+            print(f"eval_nerf: skipping {scene} — no checkpoint at "
+                  f"{args.ckpt}")
+    if ran == 0:
+        raise SystemExit(f"eval_nerf: no checkpoint matched {ckpt!r} for "
+                         f"any {args.dataset} scene — check the --ckpt "
+                         f"template")
 
 
 if __name__ == "__main__":

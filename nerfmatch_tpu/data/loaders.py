@@ -93,12 +93,25 @@ class DataLoader:
                 gbatch = gbatch[lo : lo + per]
             yield gbatch
 
-    def _produce(self, q):
+    def _produce(self, q, stop):
+        # Dataset errors are forwarded to the consumer (a silent
+        # end-of-epoch would truncate evals / desync multi-host steps);
+        # `stop` lets an abandoned iterator release the thread instead of
+        # blocking forever on a full queue.
         try:
             for batch_idx in self._index_batches():
-                q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
-        finally:
+                batch = _collate([self.dataset[int(i)] for i in batch_idx])
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     def __iter__(self):
         if not self.prefetch:
@@ -106,13 +119,20 @@ class DataLoader:
                 yield _collate([self.dataset[int(i)] for i in batch_idx])
             return
         q = queue.Queue(maxsize=2)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop),
+                             daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def _dataset_registry():

@@ -47,7 +47,13 @@ class RenderConfig:
     perturb: bool = True
     noise_std: float = 1.0
     white_bg: bool = False
-    chunksize: int = 16384               # host-side eval chunk (in rays*samples)
+    chunksize: int = 16384               # reference MLP-chunking knob (in
+                                         # rays*samples); accepted for config
+                                         # parity but intentionally superseded
+                                         # here — eval chunks by RAYS
+                                         # (predict's chunk_rays), sized for
+                                         # TPU dispatch, and training renders
+                                         # whole batches in one program
     single_model: bool = False
     appearance_embedding: bool = False
     mip_var_scale: float = -1.0
@@ -257,6 +263,10 @@ class NerfRenderer:
                     weights, pts, self.cfg.feat_comb)
 
             if stage == "fine" and not validation:
+                # Batch-global min/max normalization is reference-faithful
+                # (renderer.py:284: t_to_s(z_vals, z_vals.min(),
+                # z_vals.max())) — NOT the per-ray near/far of the
+                # mip-NeRF 360 paper; kept verbatim for loss parity.
                 s_vals = t_to_s(z_vals, near=jnp.min(z_vals), far=jnp.max(z_vals))
                 preds["s_fine"] = s_vals
                 preds["weights_fine"] = weights
@@ -301,9 +311,15 @@ class NerfRenderer:
         if (jax.default_backend() in ("cpu", "gpu", "cuda", "rocm", "metal")
                 and not getattr(self, "fused_interpret", False)):
             return False
+        coarse_pts = (self.coarse_cfg.num_pts if self.coarse_cfg is not None
+                      else self.fine_cfg.num_pts if self.fine_cfg else None)
         return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
                 and self.fine_cfg is not None
-                and self.fine_cfg.num_pts == 128)
+                and self.fine_cfg.num_pts == 128
+                # Both fused stages sample fine_cfg.num_pts fenceposts; a
+                # different coarse count must fall back to XLA, not be
+                # silently rendered at 128.
+                and coarse_pts == 128)
 
     @functools.cached_property
     def _fused_eval(self):
@@ -367,6 +383,8 @@ class NerfRenderer:
         program (one dispatch per group); the tail falls back to the
         per-chunk program.  Exactly two compiled programs regardless of the
         batch size."""
+        if rays.shape[0] == 0:
+            raise ValueError("fused_predict: empty ray batch")
         fn = self._fused_eval
         rid_np = None
         if self.cfg.appearance_embedding:
@@ -405,13 +423,9 @@ class NerfRenderer:
         for i in range(start, rays_p.shape[0], step):
             part = rays_p[i : i + step]
             rpart = rid_p[i : i + step] if rid_p is not None else None
-            if part.shape[0] % 128:
-                pad = 128 - part.shape[0] % 128
-                part = np.concatenate(
-                    [part, np.broadcast_to(part[-1:], (pad, part.shape[-1]))])
-                if rpart is not None:
-                    rpart = np.concatenate(
-                        [rpart, np.broadcast_to(rpart[-1:], (pad,))])
+            # rays_p and step are both 128-multiples, so every tail slice
+            # already is too.
+            assert part.shape[0] % 128 == 0, part.shape
             if rpart is not None:
                 chunks.append(fn(params, jnp.asarray(part), jnp.asarray(rpart)))
             else:
@@ -439,6 +453,8 @@ class NerfRenderer:
         if use_fused and self.fused_eval_supported:
             return self.fused_predict(params, rays, w, h, ray_id=ray_id)
         n = rays.shape[0]
+        if n == 0:
+            raise ValueError("predict: empty ray batch")
         n_pad = (-n) % chunk_rays
         rays_p = np.concatenate(
             [np.asarray(rays), np.broadcast_to(np.asarray(rays[-1:]), (n_pad, rays.shape[-1]))]

@@ -36,21 +36,33 @@ def make_sharded_render(mesh: Mesh, renderer, interpret: bool = False,
 
     render, pack = make_fused_hierarchical(renderer, interpret=interpret,
                                            ray_tile=ray_tile)
+    # Appearance renderers take a 4th per-ray operand (the gathered
+    # embedding rows) — shard it on the ray axis like the rays.
+    app_dim = 16 if renderer.cfg.appearance_embedding else 0
+    in_specs = (P(), P(), P("data", None)) + \
+        ((P("data", None),) if app_dim else ())
 
     sharded = jax.jit(partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("data", None)),
+        in_specs=in_specs,
         out_specs=P("data"),
         # pallas_call's out_shape structs carry no varying-mesh-axes info;
         # skip the vma check (outputs are plainly data-sharded).
         check_vma=False,
     )(render))
 
-    def render_sharded(w_coarse, w_fine, rays):
+    def render_sharded(w_coarse, w_fine, rays, app=None):
+        if app_dim and app is None:
+            raise ValueError("appearance-embedding renderer: pass per-ray "
+                             "app rows (params['embedding_a']['weight']"
+                             "[ray_id]) as the 4th argument")
         rays = jax.device_put(rays, data_sharding(mesh, 2))
         w_coarse = jax.device_put(w_coarse, replicated(mesh))
         w_fine = jax.device_put(w_fine, replicated(mesh))
+        if app_dim:
+            app = jax.device_put(app, data_sharding(mesh, 2))
+            return sharded(w_coarse, w_fine, rays, app)
         return sharded(w_coarse, w_fine, rays)
 
     return render_sharded, pack
