@@ -295,8 +295,12 @@ class NeRFMatchEvaluator:
     def _solve_pose(self, pt2d, pt3d, K, c2w_gt, solver, rthres,
                     center_subpixel):
         """PnP + pose error -> (c2w_est, R_err, t_err, num_matches)."""
-        if center_subpixel:
-            pt2d = pt2d + np.array([[0.5, 0.5]])
+        # --center_subpixel is accepted for CLI parity but is an identity:
+        # the reference's +0.5 cancels pycolmap's half-integer pixel-center
+        # convention, which neither in-tree backend uses — shifting would
+        # bias every correspondence by half a pixel (see
+        # pose.estimate_pose_pycolmap).
+        del center_subpixel
         solver_name = {"colmap": "native", "cv2": "cv", "cv": "cv",
                        "native": "native"}[solver]
         res = estimate_pose(pt2d, pt3d, K, ransac_thres=rthres,

@@ -143,8 +143,12 @@ def pad_matches_with_gt(key, matches, conf_gt, coarse_percent: float = 0.3,
     i_ids = jnp.where(use_pred, pred_i, gt_i).astype(jnp.int32)
     j_ids = jnp.where(use_pred, pred_j, gt_j).astype(jnp.int32)
     mconf = jnp.where(use_pred, pred_conf, 0.0)
+    # GT slots are only meaningful when conf_gt has positives; with
+    # any_gt False the uniform fallback draws are garbage and must be
+    # masked out of the fine loss rather than supervised.
+    valid = use_pred | any_gt
     return {"b_ids": b_ids, "i_ids": i_ids, "j_ids": j_ids, "mconf": mconf,
-            "is_pred": use_pred}
+            "is_pred": use_pred, "valid": valid}
 
 
 def dense_to_match_lists(matches, max_matches: int):
@@ -161,5 +165,11 @@ def dense_to_match_lists(matches, max_matches: int):
     top_conf, top_i = jax.lax.top_k(mconf, k)
     top_j = jnp.take_along_axis(matches["j_ids"], top_i, axis=1)
     top_valid = jnp.take_along_axis(matches["valid"], top_i, axis=1)
-    return {"i_ids": top_i.astype(jnp.int32), "j_ids": top_j,
-            "mconf": top_conf, "valid": top_valid & (top_conf > 0)}
+    out = {"i_ids": top_i.astype(jnp.int32), "j_ids": top_j,
+           "mconf": top_conf, "valid": top_valid & (top_conf > 0)}
+    if k < max_matches:
+        # Keep the promised fixed (B, max_matches) host-transfer shape
+        # even when the image has fewer tokens than the budget.
+        pad = max_matches - k
+        out = {kk: jnp.pad(v, ((0, 0), (0, pad))) for kk, v in out.items()}
+    return out

@@ -34,9 +34,14 @@ def _build_library() -> Path:
     """Compile the native module if missing/stale."""
     if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB_PATH
+    # Compile to a per-pid temp file and atomically replace: concurrent
+    # processes (pytest-xdist, multi-process eval) must never CDLL a
+    # half-written .so.
+    tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_LIB_PATH)]
+           str(_SRC), "-o", str(tmp)]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB_PATH)
     return _LIB_PATH
 
 
@@ -80,14 +85,14 @@ def estimate_pose_native(pts2d, pts3d, K, ransac_thres: float = 1.0,
                          max_iters: int = 2000, confidence: float = 0.9999,
                          seed: int = 0, refine_iters: int = 30):
     """Native C++ P3P + LO-RANSAC + LM.  Returns (R, t, inlier_idx) or None."""
-    pts2d = np.asarray(pts2d, np.float64)
-    pts3d = np.asarray(pts3d, np.float64)
-    n = len(pts2d)
+    pts2d = np.asarray(pts2d, np.float64).reshape(-1, 2)
+    pts3d = np.asarray(pts3d, np.float64).reshape(-1, 3)
+    n = len(pts2d)  # AFTER reshape: a flat (2N,) input must count N rows
     if n < 4:
         return None
     lib = _get_lib()
-    p2d, p2d_c = _as_c(pts2d.reshape(-1, 2))
-    p3d, p3d_c = _as_c(pts3d.reshape(-1, 3))
+    p2d, p2d_c = _as_c(pts2d)
+    p3d, p3d_c = _as_c(pts3d)
     Km, K_c = _as_c(np.asarray(K, np.float64).reshape(3, 3))
     R = np.zeros((3, 3), np.float64)
     t = np.zeros(3, np.float64)
@@ -115,7 +120,7 @@ def refine_pose_native(pts2d, pts3d, K, R, t, iters: int = 30):
     Km, K_c = _as_c(np.asarray(K, np.float64).reshape(3, 3))
     R_io = np.ascontiguousarray(R, np.float64).copy()
     t_io = np.ascontiguousarray(t, np.float64).reshape(3).copy()
-    lib.pnp_refine(p2d_c, p3d_c, len(p2d) // 1, K_c,
+    lib.pnp_refine(p2d_c, p3d_c, len(p2d), K_c,
                    R_io.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                    t_io.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                    int(iters))
@@ -151,6 +156,9 @@ def estimate_pose(pts2d, pts3d, K, ransac_thres: float = 1.0,
     if solver in ("native", "colmap"):
         return estimate_pose_native(pts2d, pts3d, K, ransac_thres, **kw)
     if solver == "cv":
+        if kw:
+            raise ValueError(f"cv solver does not support {sorted(kw)}; "
+                             f"pass them to the native solver instead")
         return estimate_pose_cv(pts2d, pts3d, K, ransac_thres)
     raise ValueError(f"Unknown solver: {solver}")
 
@@ -158,7 +166,11 @@ def estimate_pose(pts2d, pts3d, K, ransac_thres: float = 1.0,
 # pycolmap-compatible alias (reference estimate_pose_pycolmap :222-265).
 def estimate_pose_pycolmap(pts2d, pts3d, K, img_wh=None, ransac_thres: float = 1.0,
                            center_subpixel: bool = False, **kw):
-    pts2d = np.asarray(pts2d, np.float64)
-    if center_subpixel:
-        pts2d = pts2d + np.array([[0.5, 0.5]])
+    # The reference's center_subpixel +0.5 cancels PYCOLMAP's half-integer
+    # pixel-center convention.  Both in-tree backends (native C++, cv2)
+    # already use the continuous convention the 2D points are produced in
+    # (pixel_grid_np emits pixel-center coordinates), so shifting here
+    # would BIAS every correspondence by half a pixel — the flag is
+    # accepted for CLI parity and is deliberately an identity.
+    del center_subpixel
     return estimate_pose_native(pts2d, pts3d, K, ransac_thres, **kw)

@@ -89,18 +89,29 @@ M3 rodrigues(V3 w) {
 
 int quartic_real_roots(const double c[5], double roots[4]) {
   // c[0] x^4 + ... + c[4]; returns count of (approximately) real roots.
-  if (std::fabs(c[0]) < 1e-14) return 0;
-  std::complex<double> a(c[1] / c[0]), b(c[2] / c[0]), cc(c[3] / c[0]),
-      d(c[4] / c[0]);
+  // A vanishing leading coefficient deflates to the cubic/quadratic/
+  // linear polynomial instead of discarding valid P3P solutions.
+  int lead = 0;
+  while (lead < 3 && std::fabs(c[lead]) < 1e-14) lead++;
+  int deg = 4 - lead;
+  if (deg == 1) {
+    if (std::fabs(c[3]) < 1e-300) return 0;
+    roots[0] = -c[4] / c[3];
+    return 1;
+  }
+  std::complex<double> a[4];
+  for (int i = 1; i <= deg; i++) a[i - 1] = c[lead + i] / c[lead];
   auto poly = [&](std::complex<double> x) {
-    return (((x + a) * x + b) * x + cc) * x + d;
+    std::complex<double> y(1.0, 0.0);
+    for (int i = 0; i < deg; i++) y = y * x + a[i];
+    return y;
   };
   std::complex<double> r[4] = {{0.4, 0.9}, {-0.91, 0.4}, {-0.4, -0.9}, {0.9, -0.41}};
   for (int it = 0; it < 80; it++) {
     double delta = 0;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < deg; i++) {
       std::complex<double> den(1.0, 0.0);
-      for (int j = 0; j < 4; j++)
+      for (int j = 0; j < deg; j++)
         if (j != i) den *= (r[i] - r[j]);
       std::complex<double> step = poly(r[i]) / den;
       r[i] -= step;
@@ -109,7 +120,7 @@ int quartic_real_roots(const double c[5], double roots[4]) {
     if (delta < 1e-14) break;
   }
   int n = 0;
-  for (int i = 0; i < 4; i++) {
+  for (int i = 0; i < deg; i++) {
     if (std::fabs(r[i].imag()) < 1e-6 * (1.0 + std::fabs(r[i].real())))
       roots[n++] = r[i].real();
   }
@@ -155,13 +166,10 @@ int p3p_grunert(const V3 pw[3], const V3 f[3], M3 R_out[4], V3 t_out[4]) {
   for (int i = 0; i < nv && count < 4; i++) {
     double v = vs[i];
     if (!(v > 0)) continue;
-    // u = s2/s1 from the two quadratic constraints.
-    double denom = (1.0 + q1) - 2.0 * v * cb - (q1 - 1.0) * v * v;
+    // u = s2/s1: u = ((-1+q1) v^2 - 2 q1 cb v + 1 + q1) / (2 (cg - v ca))
     double num = 2.0 * (cg - v * ca);
-    // u from: u = ((-1+q1) v^2 - 2 q1 cb v + 1 + q1) / (2 (cg - v ca))
     if (std::fabs(num) < 1e-14) continue;
     double u = ((q1 - 1.0) * v * v - 2.0 * q1 * cb * v + 1.0 + q1) / num;
-    (void)denom;
     if (!(u > 0)) continue;
     // s1 from law of cosines on side c: c^2 = s1^2 (1 + u^2 - 2 u cg)
     double k = 1.0 + u * u - 2.0 * u * cg;
@@ -217,7 +225,7 @@ int count_inliers(const Cam& cam, const M3& R, V3 t, const double* p2d,
   int cnt = 0;
   double serr = 0;
   for (int i = 0; i < n; i++) {
-    double u, v;
+    double u = 0.0, v = 0.0;  // project() leaves them unset behind camera
     V3 pw = {p3d[3 * i], p3d[3 * i + 1], p3d[3 * i + 2]};
     bool ok = project(cam, R, t, pw, &u, &v);
     double du = u - p2d[2 * i], dv = v - p2d[2 * i + 1];
@@ -389,6 +397,7 @@ int pnp_ransac(const double* pts2d, const double* pts3d, int n,
   int best_cnt = 0;
   double best_err = 1e30;
   uint8_t* mask_tmp = new uint8_t[n];
+  uint8_t* mask_ref = new uint8_t[n];
   uint8_t* mask_best = new uint8_t[n];
   std::memset(mask_best, 0, n);
 
@@ -410,12 +419,26 @@ int pnp_ransac(const double* pts2d, const double* pts3d, int n,
       int cnt = count_inliers(cam, Rs[s], ts[s], pts2d, pts3d, n, thr2,
                               mask_tmp, &serr);
       if (cnt > best_cnt || (cnt == best_cnt && serr < best_err)) {
-        // Local optimization (LO-RANSAC): polish on current inliers.
+        // Local optimization (LO-RANSAC): polish on current inliers,
+        // keeping the BETTER of {original, refined} — LM can push
+        // borderline inliers past the threshold and must not discard a
+        // candidate that already beat the current best.
         M3 R = Rs[s];
         V3 t = ts[s];
         if (cnt >= 4) {
-          refine_lm(cam, &R, &t, pts2d, pts3d, n, mask_tmp, 5);
-          cnt = count_inliers(cam, R, t, pts2d, pts3d, n, thr2, mask_tmp, &serr);
+          M3 R2 = R;
+          V3 t2 = t;
+          refine_lm(cam, &R2, &t2, pts2d, pts3d, n, mask_tmp, 5);
+          double serr2;
+          int cnt2 = count_inliers(cam, R2, t2, pts2d, pts3d, n, thr2,
+                                   mask_ref, &serr2);
+          if (cnt2 > cnt || (cnt2 == cnt && serr2 < serr)) {
+            R = R2;
+            t = t2;
+            cnt = cnt2;
+            serr = serr2;
+            std::memcpy(mask_tmp, mask_ref, n);
+          }
         }
         if (cnt > best_cnt || (cnt == best_cnt && serr < best_err)) {
           best_cnt = cnt;
@@ -438,6 +461,7 @@ int pnp_ransac(const double* pts2d, const double* pts3d, int n,
   }
   delete[] bear;
   delete[] mask_tmp;
+  delete[] mask_ref;
 
   if (best_cnt < 4) {
     delete[] mask_best;

@@ -191,13 +191,15 @@ class C2FTrainStep:
 
                 coarse_dist = jnp.linalg.norm(mpt2d_f_gt - mpt2d_c, axis=-1)
                 coarse_pos = coarse_dist < cfg.coarse_dthres
+                coarse_pos = coarse_pos & mlist["valid"]
                 if cfg.fine_loss == "match":
                     fine_loss = compute_fine_match_loss_l2_std(
                         mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos)
                 else:
                     radius = cfg.fine_ds * cfg.win_sz // 2
                     expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
-                    fine_loss = compute_fine_loss_l2_std(expec_f, expec_gt)
+                    fine_loss = compute_fine_loss_l2_std(
+                        expec_f, expec_gt, valid=mlist["valid"])
 
                 loss = jnp.where(coarse_only, coarse_loss,
                                  coarse_loss + fine_loss)
