@@ -74,7 +74,10 @@ def full_attention(q, k, v, temperature=None, bias=None):
     (lane) axis — the TPU-friendly layout; (B, L, S, H) logits put the
     reduction on a middle axis and cost ~4x in practice.
     """
-    scale = (1.0 / jnp.sqrt(q.shape[-1])) if temperature is None else temperature
+    # ``temperature`` DIVIDES like the reference FullAttention
+    # (modules/attention.py:51-54, q / temperature); default sqrt(head_dim).
+    scale = 1.0 / (jnp.sqrt(q.shape[-1]) if temperature is None
+                   else temperature)
     return _attend(q * scale, k, v, bias)
 
 
@@ -183,7 +186,12 @@ def encoder_layer_apply(params, x, context=None, head_num: int = 8,
         out = xn + out
         h = layer_norm(params["norm2"], out)
         h = ffn_apply(params["feedforward"], h, act_fn)
-        return out + h
+        # Reference quirk (modules/attention.py:222-240): forward_pre_norm
+        # rebinds x to the NORMALIZED input, so its final residual is
+        # xn + ffn(...) — the attention term reaches the output only
+        # through the ffn input.  Trained checkpoints bake this in; a
+        # standard pre-norm (out + h) diverges from them.
+        return xn + h
 
     # post-norm
     out = mha_apply(params["attention"], x, context, context, head_num,

@@ -191,10 +191,10 @@ class C2FTrainStep:
 
                 coarse_dist = jnp.linalg.norm(mpt2d_f_gt - mpt2d_c, axis=-1)
                 coarse_pos = coarse_dist < cfg.coarse_dthres
-                coarse_pos = coarse_pos & mlist["valid"]
                 if cfg.fine_loss == "match":
                     fine_loss = compute_fine_match_loss_l2_std(
-                        mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos)
+                        mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos,
+                        valid=mlist["valid"])
                 else:
                     radius = cfg.fine_ds * cfg.win_sz // 2
                     expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
@@ -251,7 +251,8 @@ class C2FTrainStep:
             coarse_pos = (coarse_dist < cfg.coarse_dthres) & valid
             if cfg.fine_loss == "match":
                 fine_loss = compute_fine_match_loss_l2_std(
-                    mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos)
+                    mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos,
+                    valid=valid)
             else:
                 radius = cfg.fine_ds * cfg.win_sz // 2
                 expec_gt = (mpt2d_f_gt - mpt2d_c) / radius

@@ -47,7 +47,11 @@ POSE_THRES = {
 def mse(img_pred, img_gt, mask=None):
     d = (img_pred - img_gt) ** 2
     if mask is not None:
-        return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask) * 1.0, 1.0)
+        # Element-wise mean over selected entries (reference dists[mask]
+        # .mean()): the denominator must count every masked ELEMENT, so a
+        # broadcast (H, W, 1) mask over (H, W, C) errors divides by C*sum.
+        m = jnp.broadcast_to(mask, d.shape).astype(d.dtype)
+        return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
     return jnp.mean(d)
 
 
@@ -179,22 +183,40 @@ def compute_fine_loss_l2_std(expec_f, expec_f_gt, training: bool = True,
         correct = correct & valid
     std = expec_f[:, 2]
     inv_std = 1.0 / jnp.clip(std, min=1e-10)
-    weight = jax.lax.stop_gradient(inv_std / jnp.mean(inv_std))
+    # The reference's ragged list holds only real matches, so its
+    # mean(inverse_std) runs over real rows — with fixed shapes the
+    # padding rows' (garbage-window) stds must not skew the normalizer.
+    if valid is not None:
+        vnum = jnp.maximum(jnp.sum(valid), 1)
+        mean_inv = jnp.sum(jnp.where(valid, inv_std, 0.0)) / vnum
+    else:
+        mean_inv = jnp.mean(inv_std)
+    weight = jax.lax.stop_gradient(inv_std / mean_inv)
     flow_l2 = jnp.sum((expec_f_gt - expec_f[:, :2]) ** 2, axis=-1)
     denom = jnp.maximum(correct.sum(), 1)
     return jnp.sum(jnp.where(correct, flow_l2 * weight, 0.0)) / denom
 
 
-def compute_fine_match_loss_l2_std(mpt2d_f, mpt2d_f_gt, std, mask=None):
+def compute_fine_match_loss_l2_std(mpt2d_f, mpt2d_f_gt, std, mask=None,
+                                   valid=None):
     """Global-pixel fine loss: std-weighted l2 in image coords
-    (``metrics.py:421-445``), masked fixed-shape."""
+    (``metrics.py:421-445``), masked fixed-shape.
+
+    The reference takes ``.mean()`` over its RAGGED real-match list with
+    ``mask`` zeroing; with fixed shapes that is sum(masked)/num_valid —
+    padding rows must inflate neither the std normalizer nor the
+    denominator (``valid`` marks the real rows; default: all)."""
     inv_std = 1.0 / jnp.clip(std, min=1e-10)
-    weight = jax.lax.stop_gradient(inv_std / jnp.mean(inv_std))
+    if valid is None:
+        valid = jnp.ones_like(inv_std, bool)
+    vnum = jnp.maximum(jnp.sum(valid), 1)
+    mean_inv = jnp.sum(jnp.where(valid, inv_std, 0.0)) / vnum
+    weight = jax.lax.stop_gradient(inv_std / mean_inv)
     if mask is None:
-        mask = jnp.ones_like(weight, bool)
+        mask = jnp.ones_like(inv_std, bool)
+    mask = mask & valid
     flow_l2 = jnp.sum((mpt2d_f - mpt2d_f_gt) ** 2, axis=-1)
-    # Reference takes .mean() over ALL entries with mask zeroing — replicate.
-    return jnp.mean(flow_l2 * weight * mask)
+    return jnp.sum(jnp.where(mask, flow_l2 * weight, 0.0)) / vnum
 
 
 # ---------------------------------------------------------------------------
@@ -271,13 +293,24 @@ def compute_nerf_pose_metrics(pts_fine, pts_feat, data, ds: int = 8,
     pt2d = (np.stack([xs, ys], -1).reshape(-1, 2) * ds + ds / 2.0)
 
     metrics = {}
-    # Part 1: depth-based — each image's grid pixels vs the OTHER image's
-    # 3D points projected into it.
+    # Part 1: depth-based — the OTHER image's 3D points PROJECTED into
+    # camera i with the GT pose form the 2D side (reference
+    # compute_reproj_pose_metrics, metrics.py:180-199, incl. its int cast);
+    # pairing them with the static grid instead would feed PnP
+    # non-correspondences.
     r_errs, t_errs = [], []
     for i in range(2):
         other = 1 - i
+        w2c = np.linalg.inv(c2w[i])
+        pc = pts_w[other] @ w2c[:3, :3].T + w2c[:3, 3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # Unguarded like the reference project_points3d: behind-camera
+            # points flip/explode and become RANSAC outliers (signal).
+            pix = (pc / pc[:, 2:]) @ K[i].T
+        pt2d_proj = np.nan_to_num(pix[:, :2], nan=-1e6,
+                                  posinf=1e6, neginf=-1e6).astype(np.int32)
         r_err, t_err, _ = compute_pose_errs(
-            K[i], c2w[i], pts_w[other], pt2d, solver=solver,
+            K[i], c2w[i], pts_w[other], pt2d_proj, solver=solver,
             ransac_thres=ransac_thres)
         r_errs.append(r_err)
         t_errs.append(t_err)
@@ -286,7 +319,6 @@ def compute_nerf_pose_metrics(pts_fine, pts_feat, data, ds: int = 8,
 
     # Part 2: feature matching — mutual NN between the two feature maps.
     from .geometry import mutual_nn_matching
-    import jax.numpy as jnp
 
     f1, f2 = np.asarray(pts_feat, np.float64).reshape(2, n, -1)
     matches, scores, valid = mutual_nn_matching(

@@ -71,7 +71,9 @@ class TorchEncoderLayer(nn.Module):
         xn = self.norm1(x)
         out = xn + self.attention(xn, xn, xn)
         h = self.feedforward.layers(self.norm2(out))
-        return out + h
+        # Reference forward_pre_norm residual quirk: xn + ffn(...), see
+        # modules/attention.py:222-240.
+        return xn + h
 
 
 def test_encoder_layer_parity_with_torch():

@@ -84,7 +84,10 @@ class TorchSABlock(nn.Module):
             o = torch.einsum("blsh,bshd->blhd", att, v).reshape(B, L, -1)
             out = xn + a.proj_out(o)
             h = self.feedforward.layers(self.norm2(out))
-            return out + h
+            # Reference forward_pre_norm rebinds x to norm1(x): the final
+            # residual is xn + ffn(...), NOT out + ffn(...)
+            # (reference modules/attention.py:222-240).
+            return xn + h
 
     def __init__(self, n, dim, heads, head_dim):
         super().__init__()
