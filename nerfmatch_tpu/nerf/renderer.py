@@ -313,6 +313,21 @@ class NerfRenderer:
             return False
         coarse_pts = (self.coarse_cfg.num_pts if self.coarse_cfg is not None
                       else self.fine_cfg.num_pts if self.fine_cfg else None)
+        if self.fine_cfg is not None:
+            from ..ops.pallas.render_kernel import eval_feat_layer
+            o3p = self.fine_cfg.out_3d_pnt
+            # "viewdir" descriptors tap h_rgb (model.py:171), not a trunk
+            # activation — the kernel cannot reproduce them; and a final-
+            # layer tap that coincides with a skip concat returns the
+            # POST-concat pt_feat in the XLA path (model.py:139-141),
+            # which the kernel's skip-as-extra-matmul layout never forms.
+            if (self.fine_cfg.stop_layer < 0 and isinstance(o3p, str)
+                    and "viewdir" in o3p):
+                return False
+            fl = eval_feat_layer(self.fine_cfg)
+            if fl == self.fine_cfg.layer_num - 1 \
+                    and fl in self.fine_cfg.skips:
+                return False
         return (self.cfg.embed_type == "mip" and self.cfg.use_viewdirs
                 and self.fine_cfg is not None
                 and self.fine_cfg.num_pts == 128

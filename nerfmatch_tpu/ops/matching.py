@@ -24,6 +24,15 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def safe_normalize(f):
+    """L2 normalize with a NaN-free gradient at the zero vector
+    (jnp.linalg.norm's grad is NaN there; all-empty rays produce zero
+    composited features).  Shared by the dense and point-sharded matchers —
+    their bit-parity contract depends on identical epsilons."""
+    return f / (jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True) + 1e-12)
+                + 1e-6)
+
+
 def dual_softmax(im_feat, pt_feat, temperature, im_mask=None, pt_mask=None,
                  temp_type: str = "mul"):
     """L2-normalized similarity -> temperature -> masked dual softmax.
@@ -31,12 +40,7 @@ def dual_softmax(im_feat, pt_feat, temperature, im_mask=None, pt_mask=None,
     im_feat: (B, M, D); pt_feat: (B, N, D); masks: (B, M)/(B, N) in {0,1}.
     Returns (conf (B, M, N), im_feat_n, pt_feat_n).
     """
-    # Safe norm: jnp.linalg.norm has a NaN gradient at the zero vector
-    # (all-empty rays produce zero composited features).
-    def _nrm(f):
-        return f / (jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True) + 1e-12)
-                    + 1e-6)
-
+    _nrm = safe_normalize
     im_n = _nrm(im_feat)
     pt_n = _nrm(pt_feat)
     # HIGHEST: the similarity decides the matches; TPU's default f32 matmul

@@ -217,10 +217,12 @@ def _fwd(qs, k, v):
 
 
 def _bwd(res, g):
+    # Unconditionally the Pallas backward: the forward already committed to
+    # the kernel path (callers gate with fused_attention_available BEFORE
+    # calling), and a silent XLA fallback here would make sub-threshold
+    # direct calls run an untested mixed Pallas-fwd/XLA-bwd pair.
     qs, k, v = res
-    if fused_attention_available(qs, k):
-        return _fused_bwd(qs, k, v, g, block_l=_pick_block(qs.shape[1]))
-    return _attn_bwd_xla(qs, k, v, g)
+    return _fused_bwd(qs, k, v, g, block_l=_pick_block(qs.shape[1]))
 
 
 fused_attention.defvjp(_fwd, _bwd)

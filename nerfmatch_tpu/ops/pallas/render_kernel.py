@@ -766,22 +766,7 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             N = z_vals.shape[0]
             # Per-sample Gaussian scalars in T-major layout (XLA side: cheap
             # (N, S) math + one reshape).
-            t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
-            mu = (t0 + t1) / 2.0
-            hw = (t1 - t0) / 2.0
-            den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
-            t_mean = mu + (2.0 * mu * hw**2) / den
-            t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
-                hw**4 * (12.0 * mu**2 - hw**2)) / den**2
-            radius = o8[:, 3:4]
-            r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                                 - (4.0 / 15.0) * hw**4 / den)
-            if spec.var_scale != 1.0:
-                t_var = spec.var_scale * t_var
-                r_var = spec.var_scale * r_var
-            tmvr = jnp.stack(
-                [t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
-            tmvr = _pad_axis(tmvr, 8, 1)
+            tmvr = frustum_moments_tmvr(z_vals, o8[:, 3:4], spec.var_scale)
             operands = [o8, d8, z_vals, tmvr, extras]
             in_specs = [
                 pl.BlockSpec((R, 8), lambda i: (i, 0),
@@ -846,6 +831,84 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     return fused
 
 
+def frustum_moments_tmvr(z_vals, radius, var_scale: float = 1.0):
+    """XLA-side conical-frustum Gaussian scalars, packed (N*S, 8).
+
+    The cheap (non-catastrophic-cancellation) closed forms shared by the
+    eval staging and the train kernel's ``_tmvr``; the resampling-facing
+    stable branch lives in ``nerf/sampling.py: conical_frustum_to_gaussian``
+    on purpose (different numerics).  z_vals (N, S+1) fenceposts; radius
+    (N, 1); returns [t_mean | t_var | r_var | 0...] rows.
+    """
+    N, S = z_vals.shape[0], z_vals.shape[1] - 1
+    t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
+    t_mean = mu + (2.0 * mu * hw**2) / den
+    t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
+        hw**4 * (12.0 * mu**2 - hw**2)) / den**2
+    r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                         - (4.0 / 15.0) * hw**4 / den)
+    if var_scale != 1.0:  # mip_var_scale (reference render_utils.py:311)
+        t_var = var_scale * t_var
+        r_var = var_scale * r_var
+    tmvr = jnp.stack([t_mean, t_var, r_var], axis=-1).reshape(N * S, 3)
+    return _pad_axis(tmvr, 8, 1)
+
+
+def eval_feat_layer(fine_cfg) -> int:
+    """Effective descriptor-tap layer for the fused kernels.
+
+    Mirrors the reference tap rules (``models/nerf.py:99-143`` /
+    ``model.py:_effective_stop_layer`` + the descriptor pick at
+    ``model.py:170-177``): an explicit ``stop_layer >= 0`` wins; otherwise
+    ``out_3d_pnt`` containing ``"begin"`` taps layer 4, and the default is
+    the FINAL hidden layer (``pt_feat``), not a fixed layer index.
+    ``"viewdir"`` descriptors (``h_rgb``) are not trunk activations — the
+    kernel cannot tap them; ``fused_eval_supported`` gates those out.
+    """
+    sl = fine_cfg.stop_layer
+    if sl < 0 and isinstance(fine_cfg.out_3d_pnt, str) \
+            and "begin" in fine_cfg.out_3d_pnt:
+        sl = 4
+    return sl if sl >= 0 else fine_cfg.layer_num - 1
+
+
+def reparam_unit_dir(rays):
+    """Rescale packed rays to the unit-direction parameterization.
+
+    The fused kernels march along the unit viewdir (cols 8:11) with
+    unscaled segment lengths, while the XLA path parameterizes by the
+    packed (possibly non-unit) ``rays_d`` (cols 3:6) and multiplies optical
+    depths by ``||rays_d||`` (``compositing.py:43``, reference
+    ``render_utils.py``).  Both march the same LINE (``prepare_rays_data``
+    packs ``viewdirs = rays_d/||rays_d||``), so scaling near/far
+    (``rays_d``-multiples) by ``||rays_d||`` and the cone growth rate
+    ``radii`` (world radius per unit ``rays_d``) by ``1/||rays_d||`` makes
+    the kernels' world-space Gaussians, optical depths, and composited
+    points match the XLA path exactly — the conical-frustum moments are
+    homogeneous (degree 1 in t for t_mean, degree 2 for t_var, and
+    ``radii^2 * t^2``-homogeneous for r_var) under this rescaling.
+
+    With the default ``norm_ray_dir=True`` datasets ``||rays_d|| == 1`` and
+    this is an identity up to f32 rounding of the norm.
+
+    Returns ``(rays', nrm)`` where kernel depths are ``nrm`` times the
+    XLA-path depths (divide by ``nrm[:, 0]`` to convert back).
+    """
+    nrm = jnp.sqrt(jnp.sum(rays[:, 3:6] ** 2, axis=-1, keepdims=True))
+    nrm = jnp.maximum(nrm, 1e-12)
+    # Snap already-unit dirs to exactly 1: keeps the default
+    # (norm_ray_dir=True) path bit-identical instead of perturbing
+    # near/far by the norm's f32 rounding.
+    nrm = jnp.where(jnp.abs(nrm - 1.0) < 1e-5, 1.0, nrm)
+    rays = jnp.concatenate(
+        [rays[:, :6], rays[:, 6:8] * nrm, rays[:, 8:11],
+         rays[:, 11:12] / nrm], axis=-1)
+    return rays, nrm
+
+
 def prepare_ray_inputs(rays):
     """(N, 12) packed rays -> (o8 [o|radius|0...], d8 [unit d|0...])."""
     n = rays.shape[0]
@@ -905,7 +968,7 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
-        feat_layer=fine_cfg.stop_layer if fine_cfg.stop_layer >= 0 else 3,
+        feat_layer=eval_feat_layer(fine_cfg),
         white_bg=cfg.white_bg, from_rays=True,
         dirs_freqs=cfg.dirs_num_freqs, app_dim=app_dim,
         sample_blocks=sample_blocks, early_term_eps=early_term_eps,
@@ -932,6 +995,9 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
                 pack_mlp_weights_traced(params["nerf_fine"], spec))
 
     def render(w_coarse, w_fine, rays, app_emb=None):
+        # Exact unit-direction reparameterization (non-unit rays_d configs
+        # march the same line; depths convert back below).
+        rays, nrm = reparam_unit_dir(rays)
         near, far = rays[:, 6:7], rays[:, 7:8]
         t = jnp.linspace(0.0, 1.0, S + 1)
         z_vals = near * (1.0 - t) + far * t
@@ -942,9 +1008,10 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
                                      interpret=interpret)
         fine = fused(w_fine, rays, z_vals_f, *app)
 
+        inv = 1.0 / nrm[:, 0]
         preds = {
-            "depth_coarse": coarse["depth"],
-            "rgb_fine": fine["rgb"], "depth_fine": fine["depth"],
+            "depth_coarse": coarse["depth"] * inv,
+            "rgb_fine": fine["rgb"], "depth_fine": fine["depth"] * inv,
             "acc_fine": fine["acc"], "feat_fine": fine["feat"],
             "pts_fine": fine["pts"], "weights_fine": fine["weights"],
         }

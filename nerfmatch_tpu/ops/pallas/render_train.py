@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_kernel import FusedRenderSpec, make_spread_matrices, _pad_axis, \
-    _fast_sin, _fast_exp
+    _fast_sin, _fast_exp, eval_feat_layer
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 
@@ -83,6 +83,11 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
     """
     assert not (extras_grad and spec.from_rays), \
         "extras_grad requires the classic input mode (extras is an input)"
+    # The train kernel has no z-blocked schedule; a blocked spec (mirroring
+    # the eval kernel's sample_blocks) would die with a cryptic KeyError
+    # deep in tracing instead of here.
+    assert spec.sample_blocks == 1, \
+        "fused TRAIN kernel is unblocked; use sample_blocks=1"
     from .render_kernel import make_ray_matrices
 
     S = spec.samples
@@ -347,22 +352,8 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
     # ------------------------------------------------------------------
 
     def _tmvr(o8, z_vals):
-        N = z_vals.shape[0]
-        t0, t1 = z_vals[:, :-1], z_vals[:, 1:]
-        mu = (t0 + t1) / 2.0
-        hw = (t1 - t0) / 2.0
-        den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
-        t_mean = mu + (2.0 * mu * hw**2) / den
-        t_var = hw**2 / 3.0 - (4.0 / 15.0) * (
-            hw**4 * (12.0 * mu**2 - hw**2)) / den**2
-        radius = o8[:, 3:4]
-        r_var = radius**2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                             - (4.0 / 15.0) * hw**4 / den)
-        if spec.var_scale != 1.0:  # mip_var_scale (render_utils.py:311)
-            t_var = spec.var_scale * t_var
-            r_var = spec.var_scale * r_var
-        return _pad_axis(jnp.stack([t_mean, t_var, r_var], -1).reshape(N * S, 3),
-                         8, 1)
+        from .render_kernel import frustum_moments_tmvr
+        return frustum_moments_tmvr(z_vals, o8[:, 3:4], spec.var_scale)
 
     expand = jnp.asarray(np.repeat(np.eye(R, dtype=np.float32), S, axis=0))
 
@@ -416,6 +407,7 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
 
     def _fwd_impl(weights, *data):
         N = data[1].shape[0] if spec.from_rays else data[2].shape[0]
+        assert N % R == 0, f"ray count {N} % tile {R} != 0"
         grid = (N // R,)
         out_specs = [
             pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -436,6 +428,7 @@ def make_fused_train_render(spec: FusedRenderSpec, interpret: bool = False,
 
     def _bwd_impl(weights, data, g_rgb3, g_w):
         N = data[1].shape[0] if spec.from_rays else data[2].shape[0]
+        assert N % R == 0, f"ray count {N} % tile {R} != 0"
         grid = (N // R,)
         g_rgb = _pad_axis(g_rgb3, 128, 1)
 
@@ -514,7 +507,7 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, skips=tuple(fine_cfg.skips),
         samples=S, ray_tile=ray_tile,
-        feat_layer=max(fine_cfg.stop_layer, 0) or 3, white_bg=cfg.white_bg,
+        feat_layer=eval_feat_layer(fine_cfg), white_bg=cfg.white_bg,
         var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0))
     # One spec drives BOTH stages: the coarse model must share the MLP
     # layout (the train kernel's weight list is spec-static, unlike the
@@ -531,7 +524,10 @@ def make_fused_train_hierarchical(renderer, interpret: bool = False,
 
     def train_render(params, rays, key, ray_id=None):
         from ...nerf.embedding import pe_embedding
-        from .render_kernel import prepare_ray_inputs
+        from .render_kernel import prepare_ray_inputs, reparam_unit_dir
+        # Unit-direction reparameterization: exact for non-unit rays_d
+        # configs (norm_ray_dir=False), identity for the default.
+        rays, _ = reparam_unit_dir(rays)
         near, far = rays[:, 6:7], rays[:, 7:8]
         o8, d8 = prepare_ray_inputs(rays)
         dirs_pe = pe_embedding(rays[:, 8:11], cfg.dirs_num_freqs)

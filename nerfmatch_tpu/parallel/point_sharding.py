@@ -16,38 +16,26 @@ the 8-device CPU mesh).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.matching import NEG_INF
+from ..ops.matching import NEG_INF, safe_normalize as _nrm
 
 
-def _nrm(f):
-    return f / (jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True) + 1e-12)
-                + 1e-6)
+@functools.lru_cache(maxsize=32)
+def _build_sharded(mesh, temp_type: str, mutual: bool, threshold: float,
+                   axis: str):
+    """Build (once per config) the jitted shard_map program.
 
-
-def sharded_point_match(mesh, im_feat, pt_feat, temperature, im_mask=None,
-                        pt_mask=None, temp_type: str = "mul",
-                        mutual: bool = True, threshold: float = 0.0,
-                        axis: str = "data"):
-    """Dual-softmax + mutual match extraction with points sharded on ``axis``.
-
-    im_feat (B, M, D) replicated; pt_feat (B, N, D) sharded on dim 1
-    (N must divide the axis size).  Returns the same dense match dict as
-    ``extract_mutual_matches`` — j_ids are GLOBAL point indices — replicated.
+    The eval loop calls ``sharded_point_match`` per query; rebuilding the
+    shard_map closure every call would defeat jax's dispatch cache (keyed
+    on function identity) and re-trace + re-lower the full program each
+    time.  ``jax.sharding.Mesh`` is hashable, so lru_cache keys on it
+    directly; shapes/dtypes are handled by the jit cache inside.
     """
-    from jax import shard_map
-
-    B, M, _ = im_feat.shape
-    N = pt_feat.shape[1]
-    n_dev = mesh.shape[axis]
-    assert N % n_dev == 0, f"point count {N} % mesh axis {n_dev} != 0"
-    if im_mask is None:
-        im_mask = jnp.ones((B, M), jnp.float32)
-    if pt_mask is None:
-        pt_mask = jnp.ones((B, N), jnp.float32)
 
     def local_fn(im_feat, pt_feat, im_mask, pt_mask, temperature):
         idx = jax.lax.axis_index(axis)
@@ -103,12 +91,36 @@ def sharded_point_match(mesh, im_feat, pt_feat, temperature, im_mask=None,
 
     # check_vma can't statically infer that the all_gather+argmax outputs
     # are replicated; they are (same reduction on every device).
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(), P(None, axis), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
+    return jax.jit(sharded)
+
+
+def sharded_point_match(mesh, im_feat, pt_feat, temperature, im_mask=None,
+                        pt_mask=None, temp_type: str = "mul",
+                        mutual: bool = True, threshold: float = 0.0,
+                        axis: str = "data"):
+    """Dual-softmax + mutual match extraction with points sharded on ``axis``.
+
+    im_feat (B, M, D) replicated; pt_feat (B, N, D) sharded on dim 1
+    (N must divide the axis size).  Returns the same dense match dict as
+    ``extract_mutual_matches`` — j_ids are GLOBAL point indices — replicated.
+    """
+    B, M, _ = im_feat.shape
+    N = pt_feat.shape[1]
+    n_dev = mesh.shape[axis]
+    assert N % n_dev == 0, f"point count {N} % mesh axis {n_dev} != 0"
+    if im_mask is None:
+        im_mask = jnp.ones((B, M), jnp.float32)
+    if pt_mask is None:
+        pt_mask = jnp.ones((B, N), jnp.float32)
+
+    sharded = _build_sharded(mesh, temp_type, bool(mutual), float(threshold),
+                             axis)
     pt_feat = jax.device_put(pt_feat, NamedSharding(mesh, P(None, axis, None)))
     pt_mask = jax.device_put(jnp.asarray(pt_mask, jnp.float32),
                              NamedSharding(mesh, P(None, axis)))

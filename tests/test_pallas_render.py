@@ -175,6 +175,71 @@ def test_fused_hierarchical_matches_renderer():
                        np.asarray(ref["pts_fine"]), atol=2e-2)
 
 
+def test_fused_hierarchical_nonunit_dirs_final_tap():
+    """Non-unit rays_d (norm_ray_dir=False rays) + default stop_layer=-1.
+
+    Two former silent divergences: the fused kernels march the unit
+    viewdir (``reparam_unit_dir`` must rescale near/far/radii so the
+    world-space Gaussians and optical depths match the XLA path, which
+    parameterizes by rays_d and scales dists by ||rays_d||), and the
+    ``stop_layer=-1`` descriptor must tap the FINAL hidden layer
+    (reference models/nerf.py:138: ``out_feats = pt_feat``), not layer 3.
+    """
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import (
+        make_fused_hierarchical, eval_feat_layer)
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg)  # stop_layer defaults to -1
+    renderer.fused_interpret = True
+    assert renderer.fused_eval_supported
+    assert eval_feat_layer(renderer.fine_cfg) == 7
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-0.2, 0.2, (8, 3))
+    v = rng.normal(size=(8, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    # Pixel-grid-style rays_d: same line, norms 0.8-1.35; far in
+    # rays_d-multiples, radii = world growth per unit rays_d.
+    scale = rng.uniform(0.8, 1.35, (8, 1))
+    d = v * scale
+    rays = np.concatenate(
+        [o, d, np.full((8, 1), 0.05), np.full((8, 1), 1.1), v,
+         np.full((8, 1), 0.002)], -1).astype(np.float32)
+
+    ref = renderer.render_rays(params, jnp.asarray(rays), train=False,
+                               ret_pfeat=True, validation=True)
+
+    render, pack = make_fused_hierarchical(renderer, interpret=True,
+                                           ray_tile=8)
+    wc, wf = pack(params)
+    out = render(wc, wf, jnp.asarray(rays))
+
+    assert np.allclose(np.asarray(out["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=2e-2)
+    # depth converts back to rays_d-multiples.
+    assert np.allclose(np.asarray(out["depth_fine"]),
+                       np.asarray(ref["depth_fine"]), atol=2e-2)
+    assert np.allclose(np.asarray(out["pts_fine"]),
+                       np.asarray(ref["pts_fine"]), atol=2e-2)
+    f_rel = (np.abs(np.asarray(out["feat_fine"]) -
+                    np.asarray(ref["feat_fine"])).max()
+             / (np.abs(np.asarray(ref["feat_fine"])).max() + 1e-9))
+    assert f_rel < 0.1, f_rel
+
+
 def test_fused_hierarchical_with_appearance():
     """Appearance embeddings through the fused extras match the XLA path."""
     from nerfmatch_tpu.config import dict2namespace
