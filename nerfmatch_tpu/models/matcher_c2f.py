@@ -78,25 +78,9 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             params["cfeat_proj"] = init_linear(keys[1], cdim, cfg.cfeat_dim)
         if fdim != cfg.ffeat_dim:
             params["ffeat_proj"] = init_linear(keys[2], fdim, cfg.ffeat_dim)
-        params["temperature"] = jnp.asarray(
-            0.1 if cfg.temp_type == "div" else 10.0, jnp.float32)
-        if cfg.effective_pt_dim != cfg.cfeat_dim:
-            params["pt_proj"] = init_linear(keys[3], cfg.effective_pt_dim, cfg.cfeat_dim)
-        if cfg.pt_pe_dim > 0:
-            params["pt_pe_proj"] = init_linear(
-                keys[4], cfg.cfeat_dim + cfg.pt_pe_dim, cfg.cfeat_dim)
-        if cfg.has_pt_sa:
-            params["pt_sa"] = init_self_attention_block(
-                keys[5], cfg.pt_sa, cfg.cfeat_dim, head_num=8,
-                head_dim=cfg.cfeat_dim // 8)
-        if cfg.has_im_sa and cfg.im_sa_type == "full":
-            params["im_sa"] = init_self_attention_block(
-                keys[6], cfg.im_sa, cfg.cfeat_dim, head_num=8,
-                head_dim=cfg.cfeat_dim // 8)
-        if cfg.cformer_type.startswith("crs") and cfg.coarse_layers > 0:
-            params["coarse_former"] = init_encoder_layer(
-                keys[7], model_dim=cfg.cfeat_dim, context_dim=cfg.cfeat_dim,
-                head_num=8, head_dim=cfg.cfeat_dim // 8, att_mode="cross")
+        # Shared trunk (temperature, pt proj/PE/SA, im SA, coarse former):
+        # one builder in the base class; same key slice as before.
+        self._init_match_trunk(params, keys[3:8])
         # Point fine-feature projection (2 linears, no activation).
         params["pt_ffeat_proj"] = [
             init_linear(keys[8], cfg.cfeat_dim, cfg.ffeat_dim),
@@ -147,11 +131,12 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     # ------------------------------------------------------------------
     def gather_fine_windows(self, params, fmap_f, im_cfeat, b_ids, i_ids,
-                            coarse_w: int, identity_list: bool = False):
+                            identity_list: bool = False):
         """Gather W x W fine-feature windows at coarse match sites.
 
         fmap_f: (B, Hf, Wf, Cf); match list (L,) b_ids/i_ids over the (Hc*Wc)
-        coarse grid with Wc = coarse_w.  Window centers sit at
+        coarse grid (Hc/Wc derived from the fine map and ``fine_stride``).
+        Window centers sit at
         (iy*stride, ix*stride) on the fine map; borders are zero-padded
         (equivalent to torch unfold with padding W//2).
         Returns (L, W*W, Cf).
@@ -213,14 +198,14 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
     # ------------------------------------------------------------------
     def forward_fine(self, params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                     j_ids, coarse_w: int, identity_list: bool = False):
+                     j_ids, identity_list: bool = False):
         """Fine stage over a fixed-length match list -> expec_f (L, 3)."""
         pt_ffeat = pt_cfeat
         for lyr in params["pt_ffeat_proj"]:
             pt_ffeat = linear(lyr, pt_ffeat)
         pt_sel = take_rows_b(pt_ffeat, b_ids, j_ids)     # (L, Cf)
         wins = self.gather_fine_windows(params, fmap_f, im_cfeat, b_ids, i_ids,
-                                        coarse_w, identity_list=identity_list)
+                                        identity_list=identity_list)
         if "fine_sa" in params:
             wins = self._packed_window_sa(params, wins)
         return self.fine_matching(params, pt_sel, wins)
@@ -272,12 +257,11 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
         im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
         conf, im_n, pt_n = dual_softmax(
-            im_cfeat, pt_cfeat, params["temperature"], im_mask, pt_mask,
+            im_cfeat, pt_cfeat, self.temperature(params), im_mask, pt_mask,
             temp_type=cfg.temp_type)
         matches = extract_mutual_matches(conf, mutual=mutual, threshold=match_thres)
 
         B, M = matches["j_ids"].shape
-        coarse_w = int(np.sqrt(M)) if img is None else img.shape[2] // 8
 
         if match_list is None:
             b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
@@ -289,7 +273,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             j_ids = match_list["j_ids"]
 
         expec_f = self.forward_fine(params, fmap_f, im_cfeat, pt_cfeat,
-                                    b_ids, i_ids, j_ids, coarse_w,
+                                    b_ids, i_ids, j_ids,
                                     identity_list=match_list is None)
         out = dict(conf_matrix=conf, expec_f=expec_f,
                    fine_b_ids=b_ids, fine_i_ids=i_ids, fine_j_ids=j_ids,
@@ -328,27 +312,26 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
 
             cache[("feats_ms",)] = jax.jit(feats)
         if ("fine_ps",) not in cache:
-            def fine(params, fmap_f, im_cfeat, pt_cfeat, j_ids, coarse_w):
+            def fine(params, fmap_f, im_cfeat, pt_cfeat, j_ids):
                 with fused_attention_scope(True):
                     B, M = j_ids.shape
                     b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
                     i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
                     return self.forward_fine(
                         params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                        j_ids.reshape(-1), coarse_w, identity_list=True)
+                        j_ids.reshape(-1), identity_list=True)
 
-            cache[("fine_ps",)] = jax.jit(fine, static_argnums=(5,))
+            cache[("fine_ps",)] = jax.jit(fine)
 
         fmap = self._eval_jit("backbone", False, 0.0)(params, img)
         im_cfeat, pt_cfeat, fmap_f = cache[("feats_ms",)](
             params, fmap, pt_feat, pt3d)
         matches = sharded_point_match(
-            mesh, im_cfeat, pt_cfeat, params["temperature"], im_mask,
+            mesh, im_cfeat, pt_cfeat, self.temperature(params), im_mask,
             pt_mask, temp_type=self.cfg.temp_type, mutual=mutual,
             threshold=match_thres)
         expec_f = cache[("fine_ps",)](params, fmap_f, im_cfeat, pt_cfeat,
-                                      matches["j_ids"],
-                                      int(img.shape[2]) // 8)
+                                      matches["j_ids"])
         out = dict(matches)
         out["expec_f"] = expec_f
         if top_k:
@@ -371,8 +354,6 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         im_cfeat0, fmap_f = (self.im_feat_from_fmap(params, fmap)
                              if fmap is not None
                              else self.extract_im_feat_ms(params, img))
-        coarse_w = (img.shape[2] // 8 if img is not None
-                    else int(np.sqrt(im_cfeat0.shape[1])))
         B, M = im_cfeat0.shape[0], im_cfeat0.shape[1]
         b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
         i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
@@ -383,13 +364,13 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             im_cfeat, pt_cfeat = self.apply_coarse_former(
                 params, im_cfeat0, pt_cfeat)
             conf, _, _ = dual_softmax(
-                im_cfeat, pt_cfeat, params["temperature"], im_mask, ipt_mask,
+                im_cfeat, pt_cfeat, self.temperature(params), im_mask, ipt_mask,
                 temp_type=cfg.temp_type)
             matches = extract_mutual_matches(conf, mutual=mutual,
                                              threshold=match_thres)
             expec_f = self.forward_fine(
                 params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                matches["j_ids"].reshape(-1), coarse_w, identity_list=True)
+                matches["j_ids"].reshape(-1), identity_list=True)
             return {"j_ids": matches["j_ids"], "mconf": matches["mconf"],
                     "valid": matches["valid"], "expec_f": expec_f}
 

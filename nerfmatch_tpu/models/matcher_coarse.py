@@ -59,7 +59,10 @@ class CoarseMatcherConfig:
     cformer_type: str = "crs"       # "crs" | "crsv2"
     coarse_layers: int = 1
     fused_attention_train: bool = True  # Pallas attention in the train step
-    compute_dtype: str = "float32"  # "bfloat16": bf16 backbone+attention
+    compute_dtype: str = "float32"  # "bfloat16": bf16 conv backbone + input
+                                    # image only (attention/matching stay
+                                    # f32 — measured conv-bound, bf16 trunk
+                                    # buys nothing: commit 99aeb2c)
 
     @classmethod
     def from_namespace(cls, ns):
@@ -88,7 +91,16 @@ class CoarseMatcherConfig:
 
     @property
     def has_im_sa(self):
-        return self.im_sa_type is not None and self.im_sa > 0
+        if self.im_sa_type is None or self.im_sa <= 0:
+            return False
+        if self.im_sa_type == "share":
+            # Reference (nerfmatch_coarse_trainer.py:143-145): "share"
+            # aliases the point SA module; with no pt_sa it aliases None
+            # and the image SA is silently skipped — not a KeyError.
+            return self.has_pt_sa
+        assert self.im_sa_type == "full", \
+            f"unknown im_sa_type: {self.im_sa_type!r} (use 'share'|'full')"
+        return True
 
 
 def feature_normalization(x):
@@ -109,6 +121,34 @@ class NeRFMatcherCoarse:
         self.backbone_cfg = make_config(self.cfg.backbone, two_scale=False)
 
     # ------------------------------------------------------------------
+    def _init_match_trunk(self, params, keys):
+        """Shared matcher trunk (temperature, point proj/PE/SA, image SA,
+        coarse former) — one builder for both matcher classes so a change
+        lands in both.  ``keys``: 5 keys in this order (each subclass
+        passes its original slice, preserving init streams exactly)."""
+        cfg = self.cfg
+        params["temperature"] = jnp.asarray(
+            0.1 if cfg.temp_type == "div" else 10.0, jnp.float32)
+        if cfg.effective_pt_dim != cfg.cfeat_dim:
+            params["pt_proj"] = init_linear(
+                keys[0], cfg.effective_pt_dim, cfg.cfeat_dim)
+        if cfg.pt_pe_dim > 0:
+            params["pt_pe_proj"] = init_linear(
+                keys[1], cfg.cfeat_dim + cfg.pt_pe_dim, cfg.cfeat_dim)
+        if cfg.has_pt_sa:
+            params["pt_sa"] = init_self_attention_block(
+                keys[2], cfg.pt_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.has_im_sa and cfg.im_sa_type == "full":
+            params["im_sa"] = init_self_attention_block(
+                keys[3], cfg.im_sa, cfg.cfeat_dim, head_num=8,
+                head_dim=cfg.cfeat_dim // 8)
+        if cfg.cformer_type.startswith("crs") and cfg.coarse_layers > 0:
+            params["coarse_former"] = init_encoder_layer(
+                keys[4], model_dim=cfg.cfeat_dim, context_dim=cfg.cfeat_dim,
+                head_num=8, head_dim=cfg.cfeat_dim // 8, att_mode="cross")
+        return params
+
     def init_params(self, key):
         cfg = self.cfg
         keys = jax.random.split(key, 8)
@@ -117,28 +157,19 @@ class NeRFMatcherCoarse:
         if self.backbone_cfg.feat_dim != cfg.cfeat_dim:
             params["cfeat_proj"] = init_linear(
                 keys[1], self.backbone_cfg.feat_dim, cfg.cfeat_dim)
-        params["temperature"] = jnp.asarray(
-            0.1 if cfg.temp_type == "div" else 10.0, jnp.float32)
-        if cfg.effective_pt_dim != cfg.cfeat_dim:
-            params["pt_proj"] = init_linear(keys[2], cfg.effective_pt_dim, cfg.cfeat_dim)
-        if cfg.pt_pe_dim > 0:
-            params["pt_pe_proj"] = init_linear(
-                keys[3], cfg.cfeat_dim + cfg.pt_pe_dim, cfg.cfeat_dim)
-        if cfg.has_pt_sa:
-            params["pt_sa"] = init_self_attention_block(
-                keys[4], cfg.pt_sa, cfg.cfeat_dim, head_num=8,
-                head_dim=cfg.cfeat_dim // 8)
-        if cfg.has_im_sa and cfg.im_sa_type == "full":
-            params["im_sa"] = init_self_attention_block(
-                keys[5], cfg.im_sa, cfg.cfeat_dim, head_num=8,
-                head_dim=cfg.cfeat_dim // 8)
-        if cfg.cformer_type.startswith("crs") and cfg.coarse_layers > 0:
-            params["coarse_former"] = init_encoder_layer(
-                keys[6], model_dim=cfg.cfeat_dim, context_dim=cfg.cfeat_dim,
-                head_num=8, head_dim=cfg.cfeat_dim // 8, att_mode="cross")
-        return params
+        return self._init_match_trunk(params, keys[2:7])
 
     # ------------------------------------------------------------------
+    def temperature(self, params):
+        """Similarity temperature; the "div"/LoFTR variant is FROZEN in the
+        reference (``nerfmatch_coarse_trainer.py:70-75``:
+        ``requires_grad=False``) — stop the gradient so training never
+        drifts it (the leaf stays in the checkpoint either way)."""
+        t = params["temperature"]
+        if self.cfg.temp_type == "div":
+            t = jax.lax.stop_gradient(t)
+        return t
+
     def _maybe_bf16(self, tree):
         if self.cfg.compute_dtype != "bfloat16":
             return tree
@@ -240,7 +271,7 @@ class NeRFMatcherCoarse:
         pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d, key=key)
         im_cfeat, pt_cfeat = self.apply_coarse_former(params, im_cfeat, pt_cfeat)
         conf, im_n, pt_n = dual_softmax(
-            im_cfeat, pt_cfeat, params["temperature"], im_mask, pt_mask,
+            im_cfeat, pt_cfeat, self.temperature(params), im_mask, pt_mask,
             temp_type=self.cfg.temp_type)
         matches = extract_mutual_matches(conf, mutual=mutual, threshold=match_thres)
         out = dict(conf_matrix=conf, **matches)
@@ -257,12 +288,24 @@ class NeRFMatcherCoarse:
         (B, K, N, .); matching runs once per pair against the same image via
         lax.map over K (bounded memory), returning stacked dense matches
         (K, B, M).  With ``pair_mesh`` the pair axis is sharded over the
-        mesh's data axis (parallel/pair_sharding.py)."""
+        mesh's data axis (parallel/pair_sharding.py).
+
+        The pair-invariant image branch (backbone + proj + PE + image SA)
+        runs ONCE outside the pair loop (as in the c2f override); only the
+        point path + coarse former + matching repeat per pair."""
+        im_cfeat0 = (self.im_feat_from_fmap(params, fmap) if fmap is not None
+                     else self.extract_im_feat(params, img))
+
         def one_pair(args):
             ipt_feat, ipt3d, ipt_mask = args
-            m = self.forward_match(params, img, ipt_feat, ipt3d, im_mask,
-                                   ipt_mask, mutual=mutual,
-                                   match_thres=match_thres, fmap=fmap)
+            pt_cfeat = self.extract_pt_feat(params, ipt_feat, ipt3d)
+            im_cfeat, pt_cfeat = self.apply_coarse_former(
+                params, im_cfeat0, pt_cfeat)
+            conf, _, _ = dual_softmax(
+                im_cfeat, pt_cfeat, self.temperature(params), im_mask,
+                ipt_mask, temp_type=self.cfg.temp_type)
+            m = extract_mutual_matches(conf, mutual=mutual,
+                                       threshold=match_thres)
             return {"j_ids": m["j_ids"], "mconf": m["mconf"], "valid": m["valid"]}
 
         pt_feat_k = jnp.swapaxes(pt_feat, 0, 1)
@@ -375,7 +418,7 @@ class NeRFMatcherCoarse:
         im_cfeat, pt_cfeat = self._eval_jit("feats", False, 0.0)(
             params, fmap, pt_feat, pt3d)
         matches = sharded_point_match(
-            mesh, im_cfeat, pt_cfeat, params["temperature"], im_mask,
+            mesh, im_cfeat, pt_cfeat, self.temperature(params), im_mask,
             pt_mask, temp_type=self.cfg.temp_type, mutual=mutual,
             threshold=match_thres)
         out = dict(matches)

@@ -45,18 +45,11 @@ class NerfConfig:
         return cls(**kw)
 
 
-def _init_linear(key, in_dim: int, out_dim: int):
-    """torch.nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in)) for w and b."""
-    kw, kb = jax.random.split(key)
-    bound = 1.0 / jnp.sqrt(in_dim)
-    return {
-        "weight": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
-        "bias": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
-    }
-
-
-def linear(params, x):
-    return x @ params["weight"] + params["bias"]
+# Shared NN primitives (same torch-default init stream: kw/kb split +
+# U(-1/sqrt(in), 1/sqrt(in)) — values identical to the previous in-module
+# copies).  models/layers.py is import-safe here: nerf/__init__ loads
+# embedding before model, so the models -> nerf.embedding edge resolves.
+from ..models.layers import init_linear as _init_linear, linear
 
 
 def init_nerf_params(key, cfg: NerfConfig):

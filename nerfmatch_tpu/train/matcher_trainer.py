@@ -181,9 +181,8 @@ class C2FTrainStep:
                     k_pad, matches, conf_gt,
                     coarse_percent=cfg.coarse_percent, train_percent=0.3)
                 b_ids, i_ids, j_ids = mlist["b_ids"], mlist["i_ids"], mlist["j_ids"]
-                coarse_w = image.shape[2] // 8
                 expec_f = self.model.forward_fine(
-                    p, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids, coarse_w)
+                    p, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids)
 
                 mpt2d_c = pt2d[b_ids, i_ids]
                 mpt2d_f = self.model.fine_coords(expec_f, mpt2d_c)
@@ -384,7 +383,16 @@ def _train_matcher(config, coarse: bool):
         params = _load_pretrained(model, params, config.model)
     params = replicate_params(params, mesh)
 
-    opt = init_optimizer(config.optim)
+    # The div/LoFTR temperature is frozen (requires_grad=False in the
+    # reference): exclude it from weight decay like torch excludes
+    # grad-less params (its gradient is already stopped in the model).
+    decay_mask = None
+    if getattr(config.model, "temp_type", "mul") == "div":
+        def decay_mask(p):
+            m = jax.tree_util.tree_map(lambda _: True, p)
+            m["temperature"] = False
+            return m
+    opt = init_optimizer(config.optim, decay_mask=decay_mask)
     opt_state = opt.init(params)
     lr_sched = make_lr_schedule(config.optim)
 

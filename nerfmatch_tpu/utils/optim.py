@@ -47,9 +47,14 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init, update)
 
 
-def init_optimizer(config, lr: float | None = None):
+def init_optimizer(config, lr: float | None = None, decay_mask=None):
     """Build an optax optimizer wrapped in ``inject_hyperparams`` so
-    ``learning_rate`` is a mutable hyperparam in the optimizer state."""
+    ``learning_rate`` is a mutable hyperparam in the optimizer state.
+
+    ``decay_mask``: optional optax-style mask (pytree/callable) selecting
+    which leaves receive weight decay — torch skips frozen
+    (``requires_grad=False``) params entirely, so callers with such leaves
+    (the matchers' div temperature) must exclude them for parity."""
     name = config.optimizer
     eps = float(getattr(config, "eps", 1e-8))
     wd = float(getattr(config, "weight_decay", 0.0))
@@ -61,7 +66,8 @@ def init_optimizer(config, lr: float | None = None):
         elif name == "adam":
             opt = optax.adam(learning_rate, eps=eps)
         elif name == "adamw":
-            return optax.adamw(learning_rate, eps=eps, weight_decay=wd)
+            return optax.adamw(learning_rate, eps=eps, weight_decay=wd,
+                               mask=decay_mask)
         elif name == "rmsprop":
             opt = optax.rmsprop(learning_rate, eps=eps)
         elif name == "radam":
@@ -72,7 +78,8 @@ def init_optimizer(config, lr: float | None = None):
             raise ValueError(f"optimizer not recognized: {name}")
         if wd > 0 and name != "adamw":
             # torch couples weight decay into the gradient (L2) for these.
-            opt = optax.chain(optax.add_decayed_weights(wd), opt)
+            opt = optax.chain(optax.add_decayed_weights(wd, mask=decay_mask),
+                              opt)
         return opt
 
     # Strong-typed f32 scalar: a Python float here (or in set_lr) traces as

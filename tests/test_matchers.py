@@ -98,10 +98,20 @@ def test_coarse_matcher_multi_pair():
     pt_feat = jax.random.normal(jax.random.PRNGKey(2), (1, K, N_PTS, 16))
     pt3d = jax.random.normal(jax.random.PRNGKey(3), (1, K, N_PTS, 3))
     pt_mask = jnp.ones((1, K, N_PTS))
-    out = model.forward_multi_pair(params, img, pt_feat, pt3d, pt_mask=pt_mask)
+    out = model.forward_multi_pair(params, img, pt_feat, pt3d, pt_mask=pt_mask,
+                                   mutual=True)
     M = (IMG // 8) ** 2
     assert out["j_ids"].shape == (K, 1, M)
     assert out["mconf"].shape == (K, 1, M)
+    # The hoisted image branch must leave per-pair results identical to the
+    # single-pair forward.
+    for k in range(K):
+        single = model.forward_match(params, img, pt_feat[:, k], pt3d[:, k],
+                                     pt_mask=pt_mask[:, k], mutual=True)
+        assert np.array_equal(np.asarray(out["j_ids"][k]),
+                              np.asarray(single["j_ids"]))
+        assert np.allclose(np.asarray(out["mconf"][k]),
+                           np.asarray(single["mconf"]), atol=1e-6)
 
 
 def test_c2f_matcher_multi_pair_matches_single():
@@ -153,8 +163,8 @@ def test_c2f_fine_window_gather_alignment():
     fmap[0, 2 * 4, 1 * 4, :] = 7.0
     b_ids = jnp.asarray([0], jnp.int32)
     i_ids = jnp.asarray([2 * Wc + 1], jnp.int32)
-    wins = model.gather_fine_windows({}, jnp.asarray(fmap), None, b_ids, i_ids,
-                                     coarse_w=Wc)
+    wins = model.gather_fine_windows({}, jnp.asarray(fmap), None, b_ids,
+                                     i_ids)
     w = np.asarray(wins).reshape(cfg.win_sz, cfg.win_sz, Cf)
     # Spot should land at the window center.
     assert np.allclose(w[cfg.win_sz // 2, cfg.win_sz // 2], 7.0)
@@ -166,8 +176,8 @@ def test_c2f_fine_border_window_zero_padded():
     Wc = 4
     fmap = jnp.ones((1, 16, 16, 4))
     wins = model.gather_fine_windows(
-        {}, fmap, None, jnp.asarray([0], jnp.int32), jnp.asarray([0], jnp.int32),
-        coarse_w=Wc)
+        {}, fmap, None, jnp.asarray([0], jnp.int32),
+        jnp.asarray([0], jnp.int32))
     w = np.asarray(wins).reshape(5, 5, 4)
     # Top-left window: first two rows/cols are zero padding.
     assert np.allclose(w[:2, :, :], np.where(np.arange(5)[None, :, None] < 2, 0, 0)
@@ -342,3 +352,40 @@ def test_rand_ablation_eval_match_no_key():
     img, pt_feat, pt3d = rand_inputs(jax.random.PRNGKey(1), b=1)
     out = model.eval_match(params, img, pt_feat, pt3d, mutual=True, top_k=8)
     assert np.all(np.isfinite(np.asarray(out["mconf"])))
+
+
+def test_div_temperature_frozen_mul_trainable():
+    """Reference nerfmatch_coarse_trainer.py:70-81: the div/LoFTR
+    temperature is requires_grad=False (frozen), the mul/Aspanformer one
+    trains.  The gradient through forward_match must reflect that."""
+    from nerfmatch_tpu.models.matcher_coarse import NeRFMatcherCoarse
+
+    img, pt_feat, pt3d = rand_inputs(jax.random.PRNGKey(4), b=1)
+
+    def temp_grad(temp_type):
+        model = NeRFMatcherCoarse(tiny_coarse_cfg(temp_type=temp_type))
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def loss(p):
+            out = model.forward_match(p, img, pt_feat, pt3d)
+            return jnp.sum(out["conf_matrix"] ** 2)
+
+        return jax.grad(loss)(params)["temperature"]
+
+    assert float(jnp.abs(temp_grad("div"))) == 0.0
+    assert float(jnp.abs(temp_grad("mul"))) > 0.0
+
+
+def test_share_im_sa_without_pt_sa_skips():
+    """im_sa_type='share' with no pt_sa aliases None in the reference
+    (im SA silently skipped) — must not KeyError."""
+    from nerfmatch_tpu.models.matcher_coarse import NeRFMatcherCoarse
+
+    cfg = tiny_coarse_cfg(pt_sa=0, pt_sa_type=None, im_sa=2,
+                          im_sa_type="share")
+    assert not cfg.has_im_sa
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    img, pt_feat, pt3d = rand_inputs(jax.random.PRNGKey(5), b=1)
+    out = model.forward_match(params, img, pt_feat, pt3d)
+    assert np.all(np.isfinite(np.asarray(out["conf_matrix"])))
