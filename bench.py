@@ -83,7 +83,39 @@ from __graft_entry__ import _example_rays, _nerf_config
 REF_RAYS_PER_SEC = 100_000.0  # estimated PyTorch A100 forward render
 
 
+def _wait_for_device(max_wait_s: float = 1200.0) -> None:
+    """Bounded wait for the TPU backend.
+
+    When the axon tunnel is down, ``jax.devices()`` HANGS instead of
+    erroring — an unattended bench run would then produce no output at
+    all.  Probe device init in a SUBPROCESS (so a hang is killable and the
+    chip is released before this process attaches), retry for up to
+    ``max_wait_s``, then fail loudly."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"device backend unreachable after {max_wait_s:.0f}s "
+                f"({attempt} probes) — axon tunnel down?")
+        print(f"# device probe {attempt} failed; retrying in 30s", flush=True)
+        time.sleep(30)
+
+
 def main():
+    _wait_for_device()
     renderer = NerfRenderer(_nerf_config(), stop_layer=3)
 
     batch = 9216  # reference train/eval ray batch (configs/nerf/*.yaml)
