@@ -373,3 +373,46 @@ def test_fused_train_var_scale_threads_through():
     gn = sum(float(jnp.sum(jnp.abs(x)))
              for x in jax.tree_util.tree_leaves(g["nerf_fine"]))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_fused_train_nonunit_dirs_matches_xla():
+    """Classic fused train staging under non-unit rays_d (norm_ray_dir=False
+    rays) must match render_rays(train=True): ``reparam_unit_dir`` rescales
+    near/far/radii so the unit-viewdir kernel march reproduces the XLA
+    rays_d parameterization exactly (deterministic: perturb off, noise 0)."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_train import \
+        make_fused_train_hierarchical
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [32, 32]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    train_render = make_fused_train_hierarchical(renderer, interpret=True)
+
+    rng = np.random.default_rng(7)
+    n = 8
+    o = rng.uniform(-0.3, 0.3, (n, 3))
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    d = v * rng.uniform(0.8, 1.35, (n, 1))   # pixel-grid-style norms
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 0.05), np.full((n, 1), 1.1), v,
+         np.full((n, 1), 0.002)], -1), jnp.float32)
+
+    out = train_render(params, rays, jax.random.PRNGKey(3))
+    ref = renderer.render_rays(params, rays, key=jax.random.PRNGKey(3),
+                               train=True)
+    for k in ("rgb_coarse", "rgb_fine"):
+        err = np.abs(np.asarray(out[k]) - np.asarray(ref[k])).max()
+        assert err < 2e-2, (k, err)
