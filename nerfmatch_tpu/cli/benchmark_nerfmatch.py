@@ -49,6 +49,13 @@ def merge_scene_metrics(cache_root, scenes, conf="rth10test_coarse_colmap",
                 avg = average_pose_metrics(metr_all)
                 for k, v in avg.items():
                     scores[k].append(v)
+    if not scores:
+        # The eval cache tag always carries an iteration suffix
+        # (``_cache_tag`` appends ``_itr{iters}``, like the reference
+        # nerfmatch_evaluator.py:813) — a conf without it matches nothing.
+        print(f"merge_scene_metrics: NO cache files matched "
+              f"'*_{conf}.npy' under {cache_root} (did you forget the "
+              f"'_itr<N>' suffix in conf?)")
     return scores
 
 

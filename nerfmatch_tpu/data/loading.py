@@ -157,7 +157,13 @@ def parse_pair_ids_balanced(qframes, rframes, pairs, split: str = "train",
             if rname in rname2ids:
                 train_pairs.append((qid, rname2ids[rname]))
             elif "_aug" in rname:
-                train_pairs.append((qid, rname))  # augmentation pair by name
+                # Aug refs normally resolve via rname2ids (the ref json
+                # carries the _aug entries); this name-passthrough branch
+                # mirrors the reference (data_loading.py:213-215), whose
+                # load_sample equally cannot index rframes by name — kept
+                # for pair-parsing parity, reachable only with
+                # inconsistent pair/annotation files.
+                train_pairs.append((qid, rname))
     if val_num < len(val_pairs):
         ids = np.random.permutation(len(val_pairs))
         val_pairs = [val_pairs[i] for i in ids[:val_num]]
@@ -302,6 +308,9 @@ def parse_cambridge_nvm(nvm):
             K = [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]]
             q = np.array([float(v) for v in cur[2:6]])
             c = np.array([float(v) for v in cur[6:9]])
+            # Reference's EXACT filter (data_loading.py:467), including its
+            # quirk of missing large-NEGATIVE-only centers — kept verbatim
+            # so generated annotations match the reference's byte-for-byte.
             if np.abs(np.max(c)) > 1e5:
                 continue  # skip ill-posed samples (seen in GreatCourt)
             # NVM stores R (w2c) as quaternion and camera center c; c2w R = R^T.

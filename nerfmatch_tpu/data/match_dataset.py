@@ -311,9 +311,22 @@ class NeRFMatchMultiPair(NeRFMatchPair):
         self.pair_ids_keys = list(self.pair_ids.keys())
 
     def load_ref_pts(self, rids):
+        if len(rids) == 0:
+            raise ValueError(
+                "multi-pair query has no refs resolvable against the ref "
+                "annotations — check pair_txt / ref_json consistency")
         if self.split == "train":
             rids_ = np.random.choice(rids, self.pair_topk)
         else:
+            # Fixed pair axis: a query with fewer refs than pair_topk
+            # cycles them (the later reshape to (pair_topk, n, .) must not
+            # regroup points across frame boundaries; duplicated refs only
+            # add duplicate correspondences, harmless to matching/PnP).
+            # The reference concatenates a ragged k<topk list instead
+            # (nerfmatch_dataset.py:447-449) — same points, ragged shape.
+            rids = list(rids)
+            if len(rids) < self.pair_topk:
+                rids = rids * (-(-self.pair_topk // len(rids)))
             rids_ = np.asarray(rids[: self.pair_topk])
         all_pt3d, all_feat, all_mask = [], [], []
         rc2w = None

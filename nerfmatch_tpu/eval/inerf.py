@@ -133,6 +133,16 @@ def _make_step(renderer, H, W, ds, num_optim, lrate, lrdecay, use_match_loss,
             conf, _, _ = dual_softmax(
                 im_cf2, pt_cf2, match_ctx["mparams"]["temperature"],
                 temp_type=matcher.cfg.temp_type)
+            # Identity GT like the reference (nerfmatch_evaluator.py:446:
+            # eye over the rendered-point count): valid only when the
+            # image-token count equals the rendered grid (inerf_ds == the
+            # backbone stride 8) — the reference has the same constraint
+            # (its (1,N,N) eye fails to broadcast against (1,M,N) too);
+            # assert so the failure names the knob instead of an XLA
+            # shape error deep in the jit.
+            assert conf.shape[1] == conf.shape[2], (
+                "use_match_loss requires inerf_ds == model stride 8 "
+                f"(image tokens {conf.shape[1]} vs rendered {conf.shape[2]})")
             eye = jnp.eye(conf.shape[1])[None]
             loss = loss + compute_matching_loss(conf, eye)
         return loss, (rgb, pts, feats)
@@ -159,6 +169,10 @@ def _make_step(renderer, H, W, ds, num_optim, lrate, lrdecay, use_match_loss,
 def _app(renderer, renderer_params, rays):
     if not renderer.cfg.appearance_embedding:
         return None
+    # Reference quirk reproduced on purpose: iNeRF renders every query
+    # with appearance index 1 regardless of the query's sequence
+    # (nerfmatch_evaluator.py:393, ``torch.zeros(...) + 1``) — not the
+    # per-frame ts the evaluator uses elsewhere.
     ray_id = jnp.ones((rays.shape[0],), jnp.int32)
     return renderer_params["params"]["embedding_a"]["weight"][ray_id]
 

@@ -179,7 +179,11 @@ class NeRFMatchEvaluator:
                 match_thres=match_thres, top_k=self.max_matches,
                 pair_mesh=self.pair_shard_mesh)
             outs = jax.device_get(outs)
-            use_fine = "expec_f" in outs
+            # Honor --coarse_only on c2f checkpoints here too (the
+            # single-pair path gates on it at line ~222); otherwise the
+            # ablation would be silently fine-refined yet cached under
+            # the '_coarse' tag.
+            use_fine = "expec_f" in outs and not self.coarse_only
             all2d, all3d = [], []
             for k in range(K_pairs):
                 lists = {kk: outs["lists"][kk][k] for kk in
@@ -278,6 +282,14 @@ class NeRFMatchEvaluator:
         c2w_gt = np.asarray(batch["c2w"])[0]
 
         if match_oracle:
+            if "conf_gt" not in batch:
+                # The datasets build conf_gt only off the test split (the
+                # reference does the same, nerfmatch_dataset.py:270); the
+                # oracle ablation therefore needs --split val (or a
+                # multi-pair dataset, which always builds it).
+                raise ValueError(
+                    "--match_oracle needs conf_gt in the batch: run it on "
+                    "a non-test split (reference behavior is identical)")
             conf_gt = np.asarray(batch["conf_gt"])[0]
             i2d, i3d = np.where(conf_gt)
             pt3d = np.asarray(batch["pt3d"])[0].reshape(-1, 3)[i3d]
@@ -335,8 +347,12 @@ class NeRFMatchEvaluator:
         K = np.asarray(batch["K"])[0]
         if "unnorm_scene" in batch:
             unnorm_scene = np.asarray(batch["unnorm_scene"])[0]
-        else:
+        elif renderer is not None:
             unnorm_scene = renderer.unnorm_scene
+        else:
+            # retrieval_only with no scene caches: the minimal samples
+            # carry no unnorm_scene and the pose comes from rc2w directly.
+            unnorm_scene = None
 
         iter_t_errs, iter_R_errs = [], []
         ts = time.perf_counter()

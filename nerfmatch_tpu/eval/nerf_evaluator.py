@@ -87,7 +87,15 @@ def load_scene_normalization(config, root_dir: str = "."):
     """Recompute the fst scene normalization from the train json
     (reference ``nerf_evaluator.py:99-116``).  Returns unnorm matrix."""
     assert getattr(config, "snorm_type", "fst") == "fst"
-    if getattr(config, "scene_anno_path", None):
+    if getattr(config, "snorm_json", None):
+        # Documented deviation: the reference's evaluator path ALWAYS
+        # recomputes from the train json and silently ignores a custom
+        # snorm_json the NeRF was trained with (the dataset honors it,
+        # nerfbase.py:135-138) — which unnormalizes re-rendered points
+        # with the wrong matrix.  Production configs never set
+        # snorm_json, so honoring it here is parity-neutral.
+        train_json = Path(config.snorm_json)
+    elif getattr(config, "scene_anno_path", None):
         train_json = Path(config.scene_anno_path
                           .replace("#scene", config.scene)
                           .replace("#split", "train"))

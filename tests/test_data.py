@@ -314,3 +314,23 @@ def test_mixed_dataset_concat(scene_dir):
     assert len(ds) == 2 * len(single)
     s = ds[len(single)]  # second dataset's first sample
     assert s["image"].shape == (H, W, 3)
+
+
+def test_multipair_dataset_short_refs_cycle(scene_dir):
+    """NeRFMatchMultiPair with pair_topk > available refs: the fixed pair
+    axis cycles refs instead of regrouping points across frame boundaries
+    (the synthetic pair file has 2 refs per query; ask for 3)."""
+    from nerfmatch_tpu.data import NeRFMatchMultiPair
+
+    cfg = match_config(scene_dir)
+    cfg.dataset = "NeRFMatchMultiPair"
+    cfg.pair_topk = 3
+    ds = NeRFMatchMultiPair(cfg, split="test")
+    s = ds[0]
+    assert s["pt3d"].shape == (3, N_PTS, 3)
+    assert s["pt_feat"].shape == (3, N_PTS, 16)
+    assert s["pt_mask"].shape == (3, N_PTS)
+    # Cycling: pair 0 and pair 2 are the same ref frame, and each pair row
+    # is a REAL frame's points (frame boundaries preserved).
+    assert np.allclose(s["pt3d"][0], s["pt3d"][2])
+    assert not np.allclose(s["pt3d"][0], s["pt3d"][1])
