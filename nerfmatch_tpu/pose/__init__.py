@@ -30,9 +30,32 @@ _LIB_PATH = Path(__file__).parent / "csrc" / "_libpnp.so"
 _lib = None
 
 
+def _host_sig() -> str:
+    """CPU identity for the -march=native artifact: a worktree copied to a
+    different machine (mtimes intact) must rebuild, not SIGILL on foreign
+    ISA extensions — same per-host keying as the XLA compile cache."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith(("flags", "Features")):
+                flags = line
+                break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:16]
+
+
 def _build_library() -> Path:
-    """Compile the native module if missing/stale."""
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+    """Compile the native module if missing/stale/built on another host."""
+    sig_path = _LIB_PATH.with_suffix(".so.host")
+    sig = _host_sig()
+    if (_LIB_PATH.exists()
+            and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime
+            and sig_path.exists() and sig_path.read_text() == sig):
         return _LIB_PATH
     # Compile to a per-pid temp file and atomically replace: concurrent
     # processes (pytest-xdist, multi-process eval) must never CDLL a
@@ -42,6 +65,7 @@ def _build_library() -> Path:
            str(_SRC), "-o", str(tmp)]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _LIB_PATH)
+    sig_path.write_text(sig)
     return _LIB_PATH
 
 

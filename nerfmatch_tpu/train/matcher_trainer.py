@@ -103,14 +103,20 @@ class CoarseTrainStep:
 
         def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
                  conf_gt, key, axis=None):
+            if axis is not None:
+                # Per-shard random draws (pt_ftype='rand' features) must
+                # differ across devices — the replicated key would
+                # correlate them (same hazard as nerf_trainer's jitter).
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
             def loss_fn(p):
                 im_cfeat = self.model.extract_im_feat(p, image)
                 pt_cfeat = self.model.extract_pt_feat(p, pt_feat, pt3d, key=key)
                 im_cfeat, pt_cfeat = self.model.apply_coarse_former(
                     p, im_cfeat, pt_cfeat)
                 conf, im_n, pt_n = dual_softmax(
-                    im_cfeat, pt_cfeat, p["temperature"], im_mask, pt_mask,
-                    temp_type=self.model.cfg.temp_type)
+                    im_cfeat, pt_cfeat, self.model.temperature(p), im_mask,
+                    pt_mask, temp_type=self.model.cfg.temp_type)
                 coarse_loss, feat_l2 = coarse_losses(conf, conf_gt, im_n, pt_n,
                                                      clamp=False)
                 metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
@@ -160,6 +166,11 @@ class C2FTrainStep:
 
         def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
                  conf_gt, pt2d, pt2d_proj, key, coarse_only, axis=None):
+            if axis is not None:
+                # Decorrelate per-shard draws (GT-pad sampling, rand
+                # features); the replicated key would make every device
+                # pick the same pad slots each step.
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             k_rand, k_pad = jax.random.split(key)
 
             def loss_fn(p):
@@ -169,8 +180,8 @@ class C2FTrainStep:
                 im_cfeat, pt_cfeat = self.model.apply_coarse_former(
                     p, im_cfeat, pt_cfeat)
                 conf, im_n, pt_n = dual_softmax(
-                    im_cfeat, pt_cfeat, p["temperature"], im_mask, pt_mask,
-                    temp_type=cfg.temp_type)
+                    im_cfeat, pt_cfeat, self.model.temperature(p), im_mask,
+                    pt_mask, temp_type=cfg.temp_type)
                 coarse_loss, feat_l2 = coarse_losses(conf, conf_gt, im_n, pt_n,
                                                      clamp=True)
 
@@ -195,6 +206,11 @@ class C2FTrainStep:
                         mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos,
                         valid=mlist["valid"])
                 else:
+                    # Reference formula verbatim (c2f_trainer.py:545):
+                    # floors, while fine_coords scales by win_sz/2*fine_ds
+                    # (:465) — they agree at the production win_sz=5,
+                    # fine_ds=2 and diverge only at odd products (the
+                    # reference has the identical quirk).
                     radius = cfg.fine_ds * cfg.win_sz // 2
                     expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
                     fine_loss = compute_fine_loss_l2_std(
@@ -253,6 +269,7 @@ class C2FTrainStep:
                     mpt2d_f, mpt2d_f_gt, expec_f[:, 2], mask=coarse_pos,
                     valid=valid)
             else:
+                # Same reference floor-division quirk as the train body.
                 radius = cfg.fine_ds * cfg.win_sz // 2
                 expec_gt = (mpt2d_f_gt - mpt2d_c) / radius
                 fine_loss = compute_fine_loss_l2_std(
@@ -476,8 +493,10 @@ def _train_matcher(config, coarse: bool):
                          vput(vb["im_mask"]), vput(vb["pt_mask"]),
                          vput(vb["conf_gt"])]
                 if not coarse:
+                    # coarse_only needs the same global replication as
+                    # every other val input (it is a process-local array).
                     vargs += [vput(vb["pt2d"]),
-                              vput(vb["pt2d_proj"]), coarse_only]
+                              vput(vb["pt2d_proj"]), vput(coarse_only)]
                 vm, out = stepper.val_forward(*vargs)
                 for k_, v in vm.items():
                     val_agg.setdefault(k_, []).append(float(v))
@@ -554,8 +573,13 @@ def _load_pretrained(model, params, model_conf):
     finetune = getattr(model_conf, "finetune", None)
     coarse_ckpt = getattr(model_conf, "coarse_ckpt", None)
     ckpt = c2f_ckpt or finetune or coarse_ckpt
-    if not ckpt or not Path(ckpt).exists():
+    if not ckpt:
         return params
+    if not Path(ckpt).exists():
+        # A configured-but-missing warm start must fail, not silently
+        # train from random init for the whole budget.
+        raise FileNotFoundError(
+            f"configured pretrained checkpoint does not exist: {ckpt}")
     if Path(ckpt).is_dir():
         # Native orbax checkpoint (this framework's own trainers): graft
         # every same-path same-shape leaf — e.g. warm-starting C2F from a

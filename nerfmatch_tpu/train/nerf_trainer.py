@@ -269,8 +269,21 @@ def train(config):
                                 "use_sem_mask", False))
     max_steps = 10 if debug else None
     profile_dir = getattr(exp, "profile_dir", None)
-    if profile_dir:
-        from ..utils.profiling import trace as profiler_trace
+    profiling = False
+
+    def _prof_window(epoch, i):
+        """Trace steps [2, 5) of the first epoch, once per run — start and
+        stop are guarded against short epochs so a trace never leaks past
+        the loop (the stop below also runs when the epoch ends early)."""
+        nonlocal profiling
+        if not (profile_dir and epoch == start_epoch):
+            return
+        if i == 2 and not profiling:
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
+        elif i >= 5 and profiling:
+            jax.profiler.stop_trace()
+            profiling = False
 
     for epoch in range(start_epoch, exp.max_epochs):
         if trainer.lr_sched is not None:
@@ -279,12 +292,7 @@ def train(config):
         for i, batch in enumerate(train_set.ray_batches(batch_size, rng)):
             if max_steps and i >= max_steps:
                 break
-            if profile_dir and epoch == start_epoch and i == 2:
-                # Trace a few warm steps once per run.
-                from ..utils import profiling as _prof
-                jax.profiler.start_trace(str(profile_dir))
-            if profile_dir and epoch == start_epoch and i == 5:
-                jax.profiler.stop_trace()
+            _prof_window(epoch, i)
             key, k = jax.random.split(key)
             sb = shard_batch(batch, mesh)
             # Per-ray loss mask (semantic/transient, reference
@@ -300,6 +308,9 @@ def train(config):
             # Keep the per-step metric on device: a float() here would sync
             # every step and drain the async dispatch pipeline.
             agg.append(metrics["rgb_fine_psnr"])
+        if profiling:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            profiling = False
         agg = [float(v) for v in jax.device_get(agg)]
         logger.info(f"epoch {epoch}: train psnr={np.mean(agg):.2f} "
                     f"lr={get_lr(opt_state):.2e}")

@@ -107,6 +107,9 @@ def compute_nerf_metrics(preds, rgb_gt, validation_mode: bool = False,
         coarse_weight = getattr(cnfg_loss, "coarse_weight", 1.0) if cnfg_loss else 1.0
         if "app_coarse" in preds and not validation_mode:
             loss = loss + l2_regularize(preds["app_coarse"]) * 1e-5
+        # The 0.5 loss weight feeds mse2psnr below — the reference computes
+        # train PSNR from this SCALED mse (metrics.py:74-83), inflating it
+        # by +3.01 dB vs the val-path psnr(); reproduced for log parity.
         rgb_coarse_mse = 0.5 * jnp.mean(mask_loss * (preds["rgb_coarse"] - rgb_gt) ** 2)
         loss = loss + rgb_coarse_mse * coarse_weight
         metrics["rgb_coarse_mse"] = rgb_coarse_mse
@@ -159,7 +162,12 @@ def compute_matching_loss(conf, conf_gt, alpha: float = 0.25, gamma: float = 2.0
 
 def compute_feat_l2(im_feat, pt_feat, conf_gt):
     """Mean L2 distance between GT-corresponding image/point features
-    (vectorized over the dense conf_gt instead of per-pair indexing)."""
+    (vectorized over the dense conf_gt instead of per-pair indexing).
+
+    Per-image means then batch mean — the reference's exact weighting
+    (``metrics.py:383-390``: per-image ``.mean()`` stacked then
+    ``.mean()``), which weights images equally regardless of their GT
+    pair counts (NOT a flat mean over all pairs)."""
     # dist (B, M, N) computed only at positives via the masked expansion
     # ||a-b||^2 = |a|^2 + |b|^2 - 2ab — one matmul for the cross term.
     sq = (jnp.sum(im_feat**2, -1)[:, :, None]
@@ -177,7 +185,9 @@ def compute_fine_loss_l2_std(expec_f, expec_f_gt, training: bool = True,
     """LoFTR local expectation loss: std-weighted l2 on window-normalized
     offsets; supervises only coarse matches within the window (|gt|_inf < 1).
     Fixed-shape: zero-match batches contribute 0 (no DDP hack needed).
-    ``valid`` (optional (L,) bool) masks out padding rows (dense val mode)."""
+    ``valid`` (optional (L,) bool) masks out padding rows (dense val mode).
+    ``training`` is accepted for signature parity and is dead — exactly as
+    in the reference (``metrics.py:393-419`` never reads it either)."""
     correct = jnp.linalg.norm(expec_f_gt, ord=jnp.inf, axis=1) < 1.0
     if valid is not None:
         correct = correct & valid

@@ -221,3 +221,43 @@ def test_nerf_train_step_with_loss_mask(scene, tmp_path):
     _, _, mh = step(params, opt_state, sb["rays"], sb["rgbs"],
                     sb["ts"].astype(jnp.int32), k, half)
     assert float(mh["rgb_fine_mse"]) < float(m0["rgb_fine_mse"])
+
+
+def test_div_temperature_frozen_through_train_step():
+    """The trainer bodies must route through model.temperature() — a raw
+    params['temperature'] would let Adam drift the frozen div/LoFTR value
+    (reference requires_grad=False)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.train.matcher_trainer import CoarseTrainStep
+
+    cfg = CoarseMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        im_pe=True, im_sa=0, im_sa_type=None, pt_sa=0, pt_sa_type=None,
+        pt_pe=False, coarse_layers=0, temp_type="div")
+    model = NeRFMatcherCoarse(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    step = CoarseTrainStep(model, opt)
+
+    rng = np.random.default_rng(1)
+    bs, hw, n = 2, 32, 16
+    m = (hw // 8) ** 2
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)
+    conf_gt = np.zeros((bs, m, n), np.float32)
+    conf_gt[:, np.arange(m), rng.integers(0, n, m)] = 1.0
+
+    p2, _, _ = step.step(params, opt.init(params), img, pt_feat, pt3d,
+                         jnp.ones((bs, m)), jnp.ones((bs, n)),
+                         jnp.asarray(conf_gt), jax.random.PRNGKey(5))
+    assert float(p2["temperature"]) == float(params["temperature"])
+    assert float(p2["temperature"]) == pytest.approx(0.1)
+    # Other params did move.
+    w0 = jax.tree_util.tree_leaves(params["backbone"])[0]
+    w1 = jax.tree_util.tree_leaves(p2["backbone"])[0]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
