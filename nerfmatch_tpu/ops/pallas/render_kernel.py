@@ -126,6 +126,18 @@ class FusedRenderSpec:
                                  # First-occurrence argmax, matching
                                  # jnp.argmax; blocked schedule carries
                                  # the running best across sample blocks.
+    trunk_int8: bool = False     # OPT-IN serving mode: run the MLP trunk
+                                 # as int8 x int8 -> int32 MXU dots (2x
+                                 # bf16 MACs/cycle on v5e) with static
+                                 # per-channel activation scales absorbed
+                                 # into per-column weight quantization
+                                 # (ops/pallas/quant.py).  Measured
+                                 # quality (scripts/int8_quality_probe.py,
+                                 # trained bench scene): coarse-only mean
+                                 # rgb delta 1.2e-3 vs f32 (bf16 floor
+                                 # 7.9e-4); both-stage 3.9e-3 — above the
+                                 # bf16 noise floor, hence NOT the
+                                 # benchmark default.  Heads stay bf16/f32.
 
 
 def _split2cat(x, axis):
@@ -334,6 +346,8 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
     assert S % SB == 0, f"samples {S} % sample_blocks {SB} != 0"
     assert SB == 1 or spec.from_rays, \
         "sample_blocks > 1 is implemented for from_rays mode only"
+    assert not spec.trunk_int8 or (spec.from_rays and SB > 1), \
+        "trunk_int8 is implemented for the blocked from_rays path only"
     Sb = S // SB
     Tb = R * Sb
     Sp, Sq, phase = make_spread_matrices(spec)
@@ -460,18 +474,63 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
                 pre = oS_T + t_col * dS_T + wrefs["_phase"][...]
                 vs = tv_col * dQ_T + rv_col * nQ_T
-                xb = (_fast_exp(-0.5 * vs)
-                      * _fast_sin(pre)).astype(jnp.bfloat16)
+                xb_f = _fast_exp(-0.5 * vs) * _fast_sin(pre)
 
-                h = jax.nn.relu(mm(xb, wrefs["w0"][...]) + wrefs["b0"][...])
-                feat_tap = h
-                for i in range(1, spec.layer_num):
-                    acc_h = mm(h, wrefs[f"w{i}"][...])
-                    if f"w{i}s" in wrefs:
-                        acc_h = acc_h + mm(xb, wrefs[f"w{i}s"][...])
-                    h = jax.nn.relu(acc_h + wrefs[f"b{i}"][...])
-                    if i == spec.feat_layer:
-                        feat_tap = h
+                if spec.trunk_int8:
+                    # int8 serving trunk (ops/pallas/quant.py): the whole
+                    # chain runs in the QUANTIZED domain — layer i's
+                    # epilogue is y = acc*c + B (ONE fused scale row:
+                    # dequant, relu threshold and the next layer's requant
+                    # all pre-folded, with +0.5 in B so the truncating
+                    # f32->int8 cast rounds to nearest), max(y, 0.5) IS
+                    # the relu, and clip(-127,127)+cast pattern-matches
+                    # Mosaic's saturating cast (an asymmetric 0 bound
+                    # measures 2x slower: 11.4 vs 5.7 ms/chain).  Real
+                    # units reappear only at the feat tap and final layer.
+                    def i8mm(a, b):
+                        return jnp.dot(a, b,
+                                       preferred_element_type=jnp.int32
+                                       ).astype(jnp.float32)
+
+                    def sat8(y):
+                        return jnp.clip(y, -127, 127).astype(jnp.int8)
+
+                    last = spec.layer_num - 1
+                    feat_tap = None
+                    xq = sat8(jnp.round(xb_f * wrefs["qenc"][...]))
+                    hq = None
+                    for i in range(spec.layer_num):
+                        acc_h = i8mm(xq if i == 0 else hq,
+                                     wrefs[f"w{i}q"][...])
+                        if i == last:
+                            h = acc_h * wrefs[f"s{i}"][...]
+                            if f"w{i}sq" in wrefs:
+                                h = h + (i8mm(xq, wrefs[f"w{i}sq"][...])
+                                         * wrefs[f"s{i}s"][...])
+                            h = jax.nn.relu(h + wrefs[f"b{i}"][...])
+                            if feat_tap is None:
+                                feat_tap = h
+                        else:
+                            y = acc_h * wrefs[f"c{i}"][...]
+                            if f"w{i}sq" in wrefs:
+                                y = y + (i8mm(xq, wrefs[f"w{i}sq"][...])
+                                         * wrefs[f"c{i}s"][...])
+                            y = jnp.maximum(y + wrefs[f"B{i}"][...], 0.5)
+                            if i == spec.feat_layer and spec.ret_feat:
+                                feat_tap = (y - 0.5) * wrefs[f"iq{i}"][...]
+                            hq = sat8(y)
+                else:
+                    xb = xb_f.astype(jnp.bfloat16)
+                    h = jax.nn.relu(mm(xb, wrefs["w0"][...])
+                                    + wrefs["b0"][...])
+                    feat_tap = h
+                    for i in range(1, spec.layer_num):
+                        acc_h = mm(h, wrefs[f"w{i}"][...])
+                        if f"w{i}s" in wrefs:
+                            acc_h = acc_h + mm(xb, wrefs[f"w{i}s"][...])
+                        h = jax.nn.relu(acc_h + wrefs[f"b{i}"][...])
+                        if i == spec.feat_layer:
+                            feat_tap = h
 
                 h3 = h.reshape(R, Sb, hid)
                 sigma_raw = jnp.sum(h3 * wrefs["wa"][...][None, None, :],
@@ -923,7 +982,9 @@ def prepare_ray_inputs(rays):
 def make_fused_hierarchical(renderer, interpret: bool = False,
                             ray_tile: int = 32, coarse_rgb: bool = False,
                             sample_blocks: int = 4,
-                            early_term_eps: float = 0.0):
+                            early_term_eps: float = 0.0,
+                            trunk_int8: str = "none",
+                            act_scales=None):
     """Fused two-stage (coarse->resample->fine) eval render.
 
     ``sample_blocks``: both stages process the sample axis in z-ordered
@@ -935,6 +996,21 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     24.6 at M=512 and 26.9 at M=1536 for the 9216-ray bench batch;
     outputs bit-identical across ray_tile at fixed sample_blocks, since
     the z-block reduction order is unchanged).
+
+    ``trunk_int8`` in {"none", "coarse", "both"}: opt-in int8 serving mode
+    — run the named stages' MLP trunks as int8 MXU dots (2x bf16 MACs/
+    cycle).  Requires ``act_scales`` from
+    :func:`nerfmatch_tpu.ops.pallas.quant.calibrate_act_scales` (static
+    per-channel scales, calibrated once per scene).  "coarse" quantizes
+    only the stage whose sole output is the resampling weights.  Measured
+    (scripts/int8_bench_probe.py, trained bench scene, 9216 rays): the
+    standalone MLP chain speeds up 1.58x (7.96 -> 5.05 ms), but the full
+    fused render does NOT (409.9k "none" vs 398.1k rays/s "both") — the
+    kernel's critical path is VPU/schedule-bound, so the freed MXU cycles
+    hide behind it.  Quality vs f32: coarse mean rgb 1.2e-3 / both
+    3.4e-3, vs the 7.9e-4 fused-bf16 noise floor.  Both measurements keep
+    this opt-in and never the benchmark default; it only pays for
+    MLP-heavier configs (wider/deeper trunks) where the chain dominates.
 
     ``early_term_eps`` > 0 additionally skips the trunk of blocks where
     every ray in the tile is already opaque (transmittance < eps).
@@ -965,6 +1041,11 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     fine_cfg = renderer.fine_cfg
     S = fine_cfg.num_pts
     app_dim = 16 if cfg.appearance_embedding else 0
+    assert trunk_int8 in ("none", "coarse", "both"), trunk_int8
+    int8_c = trunk_int8 in ("coarse", "both")
+    int8_f = trunk_int8 == "both"
+    assert not int8_c or act_scales is not None, \
+        "trunk_int8 requires act_scales (quant.calibrate_act_scales)"
     spec = FusedRenderSpec(
         num_freqs=cfg.xyz_num_freqs, hid_dim=fine_cfg.hid_dim,
         layer_num=fine_cfg.layer_num, samples=S, ray_tile=ray_tile,
@@ -973,14 +1054,14 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         dirs_freqs=cfg.dirs_num_freqs, app_dim=app_dim,
         sample_blocks=sample_blocks, early_term_eps=early_term_eps,
         var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0),
-        feat_max=(cfg.feat_comb == "max"))
+        feat_max=(cfg.feat_comb == "max"), trunk_int8=int8_f)
     fused = make_fused_render(spec, interpret=interpret)
     # Coarse pass: only depth/weights feed the fine stage — skip the
     # composited feat/pts reductions and (by default) the rgb head chain.
     import dataclasses as _dc
-    fused_coarse = make_fused_render(
-        _dc.replace(spec, ret_feat=False, ret_rgb=coarse_rgb),
-        interpret=interpret)
+    coarse_spec = _dc.replace(spec, ret_feat=False, ret_rgb=coarse_rgb,
+                              trunk_int8=int8_c)
+    fused_coarse = make_fused_render(coarse_spec, interpret=interpret)
 
     assert renderer.dirs_emb_dim + app_dim <= spec.extra_dim
 
@@ -991,8 +1072,21 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         from .render_train import pack_mlp_weights_traced
 
         coarse_key = "nerf_fine" if cfg.single_model else "nerf_coarse"
-        return (pack_mlp_weights_traced(params[coarse_key], spec),
-                pack_mlp_weights_traced(params["nerf_fine"], spec))
+        if int8_c:
+            from .quant import pack_mlp_weights_int8
+
+            wc = pack_mlp_weights_int8(params[coarse_key], coarse_spec,
+                                       act_scales["coarse"])
+        else:
+            wc = pack_mlp_weights_traced(params[coarse_key], coarse_spec)
+        if int8_f:
+            from .quant import pack_mlp_weights_int8
+
+            wf = pack_mlp_weights_int8(params["nerf_fine"], spec,
+                                       act_scales["fine"])
+        else:
+            wf = pack_mlp_weights_traced(params["nerf_fine"], spec)
+        return wc, wf
 
     def render(w_coarse, w_fine, rays, app_emb=None):
         # Exact unit-direction reparameterization (non-unit rays_d configs

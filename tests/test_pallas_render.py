@@ -592,3 +592,73 @@ def test_blocked_feat_max_with_early_termination():
     for k in ("feat", "pts"):
         e = np.abs(np.asarray(ref[k]) - np.asarray(et[k])).max()
         assert e < 1e-6, (k, e)
+
+
+def test_fused_hierarchical_int8_trunk():
+    """Opt-in int8 serving trunk (quant.py) vs the f32 XLA renderer.
+
+    The trunk runs entirely in the quantized domain (one fused scale row
+    per layer; +0.5-bias round-to-nearest through the truncating f32->int8
+    cast), so this checks the whole scheme: static calibration, the
+    SmoothQuant-style scale fold, skip-layer split quantization, the
+    real-unit feat-tap recovery, and the heads staying f32/bf16.
+    Tolerances are the int8 quality budget, not the bf16 floor (see
+    quant.py header for the measured on-chip deltas).
+    """
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
+    from nerfmatch_tpu.ops.pallas.quant import calibrate_act_scales
+
+    cfg = dict2namespace({
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    })
+    renderer = NerfRenderer(cfg, stop_layer=3)
+    renderer.fused_interpret = True
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(11)
+    o = rng.uniform(-0.2, 0.2, (8, 3))
+    d = rng.normal(size=(8, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((8, 1), 0.05), np.full((8, 1), 1.4), d,
+         np.full((8, 1), 0.002)], -1).astype(np.float32)
+
+    ref = renderer.render_rays(params, jnp.asarray(rays), train=False,
+                               ret_pfeat=True, validation=True)
+    scales = calibrate_act_scales(renderer, params, jnp.asarray(rays))
+
+    render, pack = make_fused_hierarchical(
+        renderer, interpret=True, ray_tile=8, trunk_int8="both",
+        act_scales=scales)
+    wc, wf = pack(params)
+    out = render(wc, wf, jnp.asarray(rays))
+
+    d_rgb = np.abs(np.asarray(out["rgb_fine"]) - np.asarray(ref["rgb_fine"]))
+    assert d_rgb.mean() < 1e-2 and d_rgb.max() < 8e-2, \
+        (d_rgb.mean(), d_rgb.max())
+    assert np.allclose(np.asarray(out["depth_fine"]),
+                       np.asarray(ref["depth_fine"]), atol=8e-2)
+    f_rel = (np.abs(np.asarray(out["feat_fine"]) -
+                    np.asarray(ref["feat_fine"])).max()
+             / (np.abs(np.asarray(ref["feat_fine"])).max() + 1e-9))
+    assert f_rel < 0.15, f_rel
+
+    # coarse-only mode quantizes just the resampling-weights stage.
+    render_c, pack_c = make_fused_hierarchical(
+        renderer, interpret=True, ray_tile=8, trunk_int8="coarse",
+        act_scales=scales)
+    wc2, wf2 = pack_c(params)
+    out_c = render_c(wc2, wf2, jnp.asarray(rays))
+    d_rgb_c = np.abs(np.asarray(out_c["rgb_fine"])
+                     - np.asarray(ref["rgb_fine"]))
+    assert d_rgb_c.mean() <= d_rgb.mean() + 1e-3
