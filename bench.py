@@ -140,7 +140,10 @@ def main():
             for k in range(scan_g)])
         assert rays.shape[1] == batch
 
-    render, pack = make_fused_hierarchical(renderer)
+    # Production defaults, incl. the bounded early-ray-termination the
+    # renderer's own fused path uses (cfg.early_term_eps).
+    render, pack = make_fused_hierarchical(
+        renderer, early_term_eps=renderer.cfg.early_term_eps)
     wc, wf = pack(params)
 
     @jax.jit

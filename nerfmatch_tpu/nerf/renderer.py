@@ -62,6 +62,11 @@ class RenderConfig:
     num_out_ch: int = 0                  # extra scene-coord channels (out_scr)
     out_scr: bool = False
     compute_dtype: str = "float32"       # "bfloat16": bf16 MLP trunk (MXU)
+    early_term_eps: float = 1e-4         # fused EVAL path: skip sample blocks
+                                         # once every ray in the tile is opaque
+                                         # (outputs bounded within eps — below
+                                         # the ~8e-4 fused-bf16 noise floor).
+                                         # 0 disables.  Training is unaffected.
 
     @classmethod
     def from_config(cls, config):
@@ -86,6 +91,7 @@ class RenderConfig:
             out_scr=bool(getattr(data, "out_scr", False)),
             num_out_ch=3 if getattr(data, "out_scr", False) else 0,
             compute_dtype=getattr(render, "compute_dtype", "float32"),
+            early_term_eps=getattr(render, "early_term_eps", 1e-4),
         )
 
 
@@ -345,7 +351,8 @@ class NerfRenderer:
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
         render, pack = make_fused_hierarchical(
-            self, interpret=getattr(self, "fused_interpret", False))
+            self, interpret=getattr(self, "fused_interpret", False),
+            early_term_eps=self.cfg.early_term_eps)
         if self.cfg.appearance_embedding:
             def call(params, rays, rid):
                 wc, wf = pack(params)
@@ -368,7 +375,8 @@ class NerfRenderer:
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
         render, pack = make_fused_hierarchical(
-            self, interpret=getattr(self, "fused_interpret", False))
+            self, interpret=getattr(self, "fused_interpret", False),
+            early_term_eps=self.cfg.early_term_eps)
         if self.cfg.appearance_embedding:
             def call(params, rays3, rid2):
                 wc, wf = pack(params)

@@ -1,12 +1,20 @@
 """Train the bench scene: a production-dim mip-NeRF fit to a synthetic
-emissive ball, saved to pretrained/synthetic_sphere_nerf.npz.
+INDOOR scene (emissive ball inside an enclosing shell), saved to
+pretrained/synthetic_room_nerf.npz.
 
-bench.py renders THIS checkpoint: a trained density field (opaque surface +
-empty background) is the production ``cache_scene_pts`` workload, whereas a
-random-init MLP is almost uniformly transparent — unrepresentatively
-hostile to early ray termination and unrepresentatively friendly to
-nothing.  Scene: ball radius 0.3 at origin, cameras on a radius-0.8 circle
-looking inward (all inside the unit scene sphere), color = surface normal.
+bench.py renders THIS checkpoint: a trained density field is the
+production ``cache_scene_pts`` workload, whereas a random-init MLP is
+almost uniformly transparent.  The scene is ENCLOSED on purpose: the
+BASELINE config-1 workload is 7-Scenes chess — an indoor room where every
+camera ray terminates on geometry (reference
+`data/setup_7scenes.py` scenes are all interiors).  The earlier
+open-background ball (round 3 first half) left ~2/3 of rays flying
+through void forever — a density profile no localization scene has, and
+one that artificially disabled the kernel's bounded early-ray-termination
+on exactly the workload it exists for.  Scene: ball radius 0.3 at origin
+(color = surface normal) inside a shell of radius 1.2 (color = inward
+normal modulated by a smooth positional pattern); cameras on a radius-0.8
+circle looking inward.
 
 Run on the TPU: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/train_bench_scene.py
 """
@@ -29,10 +37,11 @@ from nerfmatch_tpu.nerf.renderer import NerfRenderer
 from __graft_entry__ import _nerf_config
 
 BALL_R = 0.3
+SHELL_R = 1.2
 CAM_R = 0.8
-NEAR, FAR = 0.05, 1.4
+NEAR, FAR = 0.05, 2.1  # FAR covers cam->shell through the center (2.0)
 CKPT = Path(__file__).resolve().parent.parent / "pretrained" / \
-    "synthetic_sphere_nerf.npz"
+    "synthetic_room_nerf.npz"
 
 
 def camera_rays(ang, h=64, w=64, focal=80.0, jitter_key=None):
@@ -60,7 +69,10 @@ def camera_rays(ang, h=64, w=64, focal=80.0, jitter_key=None):
 
 
 def gt_colors(rays):
-    """Analytic target: ball surface normal as rgb; black background."""
+    """Analytic target: ball surface normal as rgb where the ray hits the
+    ball, else the enclosing shell's inward normal modulated by a smooth
+    positional pattern (every ray terminates — indoor scene).  Returns
+    (rgb, ball_hit_mask)."""
     o, d = rays[:, :3], rays[:, 3:6]
     b = np.sum(o * d, axis=-1)
     c = np.sum(o * o, axis=-1) - BALL_R**2
@@ -70,7 +82,16 @@ def gt_colors(rays):
     hit &= t > 0
     p = o + t[:, None] * d
     normal = p / BALL_R
-    rgb = np.where(hit[:, None], 0.5 * normal + 0.5, 0.0)
+    ball_rgb = 0.5 * normal + 0.5
+    # Shell: far root of |o + t d| = SHELL_R (cameras are inside, so the
+    # forward intersection always exists).
+    t_sh = -b + np.sqrt(np.maximum(b * b - (np.sum(o * o, -1) - SHELL_R**2),
+                                   0.0))
+    q = o + t_sh[:, None] * d
+    n_in = -q / SHELL_R
+    mod = 0.7 + 0.3 * np.sin(3.0 * q[:, 0:1]) * np.cos(3.0 * q[:, 2:3])
+    shell_rgb = (0.5 * n_in + 0.5) * mod
+    rgb = np.where(hit[:, None], ball_rgb, shell_rgb)
     return rgb.astype(np.float32), hit
 
 
