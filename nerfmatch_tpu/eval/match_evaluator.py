@@ -232,42 +232,89 @@ class NeRFMatchEvaluator:
 
     # ------------------------------------------------------------------
     def _eval_batch_queries(self, batch, mutual, match_thres, solver,
-                            rthres, center_subpixel):
+                            rthres, center_subpixel, iters: int = 1,
+                            renderer=None, renderer_params=None):
         """All queries of a collated batch through ONE matcher program.
 
         The inference programs are batched over queries end-to-end (leading
         ``B`` dim throughout ``models/``), so ``--eval_bs`` amortizes
         per-dispatch overhead and fills conv MXU tiles better than bs=1;
-        per-query PnP stays on host.  Restricted to the single-shot
-        cached-point protocol (``iters``/iNeRF re-render per query pose,
-        which is inherently sequential)."""
+        per-query PnP stays on host.  ``iters > 1`` (the production
+        7-Scenes protocol, reference ``model_eval/README.md:54-141``)
+        batches the re-render at the current pose estimates too — one
+        scan-grouped fused render for the whole batch
+        (``NerfRenderer.render_novel_views``) instead of the reference's
+        per-query sequential re-render; queries whose PnP failed keep
+        their previous scene points (same as the per-query path, which
+        skips the re-render when ``c2w_est`` is None).  iNeRF gradient
+        refinement stays per-query (bs=1)."""
         ts = time.perf_counter()
         pt3d = np.asarray(batch["pt3d"])
         assert pt3d.ndim == 3, "eval_bs>1 requires single-pair batches"
         B = pt3d.shape[0]
-        out = self.model.eval_match(
-            self.params, jnp.asarray(batch["image"]),
-            jnp.asarray(batch["pt_feat"]), jnp.asarray(pt3d),
-            im_mask=jnp.asarray(np.asarray(batch["im_mask"], np.float32)),
-            pt_mask=jnp.asarray(np.asarray(batch["pt_mask"], np.float32)),
-            mutual=mutual, match_thres=match_thres, top_k=self.max_matches)
-        lists = jax.device_get(out["lists"])
-        self.timer["match_time"].extend(
-            [(time.perf_counter() - ts) / B] * B)
-
         Ks = np.asarray(batch["K"])
         c2ws = np.asarray(batch["c2w"])
         pt2d_all = np.asarray(batch["pt2d"])
-        res = dict(R_err=[], t_err=[], num_matches=[],
-                   iter_t_errs=[], iter_R_errs=[])
-        for b in range(B):
-            mpt2d, mpt3d = self._item_matches(out, lists, pt2d_all, pt3d, b)
-            _, r_err, t_err, n = self._solve_pose(
-                mpt2d, mpt3d, Ks[b], c2ws[b], solver, rthres,
-                center_subpixel)
-            res["R_err"].append(r_err)
-            res["t_err"].append(t_err)
-            res["num_matches"].append(n)
+        pt_feat = np.asarray(batch["pt_feat"])
+        pt_mask = np.asarray(batch["pt_mask"], np.float32)
+        if iters > 1:
+            assert renderer is not None and renderer_params is not None, \
+                "iters>1 needs the NeRF renderer for the re-render loop"
+        H, W = np.asarray(batch["image"]).shape[1:3]
+
+        c2w_ests = [None] * B
+        res = dict(R_err=[float("inf")] * B, t_err=[float("inf")] * B,
+                   num_matches=[0] * B, iter_t_errs=[], iter_R_errs=[])
+        for itr in range(iters):
+            if itr > 0:
+                # Batched re-render at the current estimates (only queries
+                # whose PnP succeeded; the rest keep their scene points).
+                live = [b for b in range(B) if c2w_ests[b] is not None]
+                if live:
+                    un = (np.asarray(batch["unnorm_scene"])
+                          if "unnorm_scene" in batch else
+                          np.broadcast_to(renderer.unnorm_scene, (B, 4, 4)))
+                    outs = renderer.render_novel_views(
+                        renderer_params, (H, W), Ks[live],
+                        [c2w_ests[b] for b in live],
+                        [un[b] for b in live], downsample=8)
+                    n_new = outs["pt3d"].shape[1]
+                    if n_new != pt3d.shape[1]:
+                        # Re-render changes the point budget: dead (PnP-
+                        # failed) queries get zero points + zero mask.
+                        pt3d = np.zeros((B, n_new, 3), np.float32)
+                        pt_feat = np.zeros(
+                            (B, n_new, outs["pt_feat"].shape[-1]), np.float32)
+                        pt_mask = np.zeros((B, n_new), np.float32)
+                    else:
+                        pt3d, pt_feat, pt_mask = (pt3d.copy(),
+                                                  pt_feat.copy(),
+                                                  pt_mask.copy())
+                    for j, b in enumerate(live):
+                        pt3d[b] = outs["pt3d"][j]
+                        pt_feat[b] = outs["pt_feat"][j]
+                        pt_mask[b] = 1.0
+            out = self.model.eval_match(
+                self.params, jnp.asarray(batch["image"]),
+                jnp.asarray(pt_feat), jnp.asarray(pt3d),
+                im_mask=jnp.asarray(np.asarray(batch["im_mask"], np.float32)),
+                pt_mask=jnp.asarray(pt_mask),
+                mutual=mutual, match_thres=match_thres,
+                top_k=self.max_matches)
+            lists = jax.device_get(out["lists"])
+            if itr == 0:
+                self.timer["match_time"].extend(
+                    [(time.perf_counter() - ts) / B] * B)
+            for b in range(B):
+                mpt2d, mpt3d = self._item_matches(out, lists, pt2d_all,
+                                                  pt3d, b)
+                c2w_est, r_err, t_err, n = self._solve_pose(
+                    mpt2d, mpt3d, Ks[b], c2ws[b], solver, rthres,
+                    center_subpixel)
+                c2w_ests[b] = c2w_est
+                res["R_err"][b] = r_err
+                res["t_err"][b] = t_err
+                res["num_matches"][b] = n
         self.timer["localize_time"].extend(
             [(time.perf_counter() - ts) / B] * B)
         return res
@@ -339,11 +386,14 @@ class NeRFMatchEvaluator:
                    overlay_ims=None):
         """Per-query localization with optional iterative re-rendering."""
         if int(np.asarray(batch["image"]).shape[0]) > 1:
-            assert iters == 1 and inerf_conf is None and not match_oracle \
+            assert inerf_conf is None and not match_oracle \
                 and not retrieval_only and not query2query and cached_pt, \
-                "eval_bs>1 supports only the single-shot cached-pt protocol"
+                "eval_bs>1 supports the cached-pt protocols (single-shot " \
+                "and --iters re-render); iNeRF/oracle/retrieval stay bs=1"
             return self._eval_batch_queries(batch, mutual, match_thres,
-                                            solver, rthres, center_subpixel)
+                                            solver, rthres, center_subpixel,
+                                            iters=iters, renderer=renderer,
+                                            renderer_params=renderer_params)
         K = np.asarray(batch["K"])[0]
         if "unnorm_scene" in batch:
             unnorm_scene = np.asarray(batch["unnorm_scene"])[0]
@@ -520,14 +570,16 @@ class NeRFMatchEvaluator:
             if os.path.exists(cache_path) and not ow_cache:
                 metrics = np.load(cache_path, allow_pickle=True).item()
             else:
-                # Query batching (--eval_bs): only the single-shot
-                # cached-point protocol is batchable (iters/iNeRF
-                # re-render sequentially per query; visualization and
-                # multi-pair layouts key off batch item 0).
+                # Query batching (--eval_bs): the cached-point protocols
+                # are batchable — single-shot AND the --iters re-render
+                # loop (batched through render_novel_views).  iNeRF
+                # refinement re-renders inside a per-query gradient loop;
+                # visualization and multi-pair layouts key off batch
+                # item 0 — those stay bs=1.
                 from ..data import NeRFMatchMultiPair
 
                 bs = eval_bs if (
-                    eval_bs > 1 and iters == 1 and not inerf_conf
+                    eval_bs > 1 and not inerf_conf
                     and cached_pt and not query2query and not retrieval_only
                     and not match_oracle and not visualize and not cache_iters
                     and not isinstance(dataset, NeRFMatchMultiPair)

@@ -292,13 +292,16 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         implementation, whose 'feats' program doesn't know about the fine
         map): the coarse (M, N) dual-softmax + mutual extraction shard
         over ``mesh`` (``parallel/point_sharding.py`` — the O(M*N) term
-        that grows with merged multi-pair clouds), while the fine subpixel
-        stage runs replicated on the resulting per-token matches
-        (O(M*W^2), independent of N).  Matches :meth:`eval_match` on the
-        same inputs (tests/test_parallel.py)."""
+        that grows with merged multi-pair clouds), and the fine subpixel
+        stage shards over the MATCH axis (every match's window gather +
+        packed attention + dsnt is independent —
+        ``make_sharded_fine_stage``), so Cambridge-scale top-k C2F scales
+        on both axes.  Matches :meth:`eval_match` on the same inputs
+        (tests/test_parallel.py)."""
         from .attention import fused_attention_scope
         from ..ops.matching import dense_to_match_lists
-        from ..parallel.point_sharding import sharded_point_match
+        from ..parallel.point_sharding import (make_sharded_fine_stage,
+                                               sharded_point_match)
 
         cache = self.__dict__.setdefault("_eval_jit_cache", {})
         if ("feats_ms",) not in cache:
@@ -311,17 +314,16 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
                     return im_cfeat, pt_cfeat, fmap_f
 
             cache[("feats_ms",)] = jax.jit(feats)
-        if ("fine_ps",) not in cache:
-            def fine(params, fmap_f, im_cfeat, pt_cfeat, j_ids):
+        if ("fine_ps", mesh) not in cache:
+            def fine_local(params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
+                           j_ids):
                 with fused_attention_scope(True):
-                    B, M = j_ids.shape
-                    b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
-                    i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
                     return self.forward_fine(
                         params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
-                        j_ids.reshape(-1), identity_list=True)
+                        j_ids, identity_list=False)
 
-            cache[("fine_ps",)] = jax.jit(fine)
+            cache[("fine_ps", mesh)] = make_sharded_fine_stage(
+                mesh, fine_local)
 
         fmap = self._eval_jit("backbone", False, 0.0)(params, img)
         im_cfeat, pt_cfeat, fmap_f = cache[("feats_ms",)](
@@ -330,8 +332,12 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
             mesh, im_cfeat, pt_cfeat, self.temperature(params), im_mask,
             pt_mask, temp_type=self.cfg.temp_type, mutual=mutual,
             threshold=match_thres)
-        expec_f = cache[("fine_ps",)](params, fmap_f, im_cfeat, pt_cfeat,
-                                      matches["j_ids"])
+        B, M = matches["j_ids"].shape
+        b_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
+        i_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), B)
+        expec_f = cache[("fine_ps", mesh)](
+            params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
+            matches["j_ids"].reshape(-1))
         out = dict(matches)
         out["expec_f"] = expec_f
         if top_k:

@@ -1018,10 +1018,18 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     differs from the eps=0 render by < eps (below the ~8e-4 bf16 noise
     floor at 1e-4).  Measured v5e tradeoff: 1.7x (608k rays/s) on
     hard-saturating geometry, ~-3% on a soft-trained scene and -11% on
-    fully-transparent ones (the per-block condition checks) — so it is
-    OFF by default; enable for dense-occupancy scene caching.  Finer
-    granularity (8 blocks / ray_tile 8) measures strictly worse: the
-    smaller matmuls lose more MXU efficiency than the extra skips gain.
+    fully-transparent ones (the per-block condition checks).  This
+    FACTORY defaults to 0 (off) — the kernel stays semantics-neutral —
+    but the production EVAL path turns it on:
+    ``RenderConfig.early_term_eps`` defaults to 1e-4, quality-gated
+    end-to-end on an enclosed indoor scene
+    (``scripts/earlyterm_e2e_gate.py``: identical matches and pose
+    errors vs eps=0 through the full localization pipeline, 1.86x faster
+    scene caching).  Localization scenes are interiors where every ray
+    terminates; soft/transparent scenes should set
+    ``render.early_term_eps: 0``.  Finer granularity (8 blocks /
+    ray_tile 8) measures strictly worse: the smaller matmuls lose more
+    MXU efficiency than the extra skips gain.
 
     Mirrors ``NerfRenderer.render_rays(train=False, ret_pfeat=True,
     validation=True)``: both Gaussian-cast+MLP+composite stages run in the

@@ -100,6 +100,42 @@ def _build_sharded(mesh, temp_type: str, mutual: bool, threshold: float,
     return jax.jit(sharded)
 
 
+def make_sharded_fine_stage(mesh, fine_local, axis: str = "data"):
+    """Shard the C2F fine stage over the flat MATCH axis.
+
+    Every match is independent (5x5 window gather + per-window packed
+    attention + dsnt — ``matcher_c2f.forward_fine``), so the (L,) id lists
+    shard over ``axis`` while params and the feature maps stay replicated;
+    no collectives inside, one all-gather implied by the sharded->
+    replicated output use.  The packed window attention is exact under
+    sharding: its block-diagonal bias makes each window's result
+    independent of which other windows share its packing group.
+
+    ``fine_local(params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids)``
+    -> (L, 3).  Returns a jitted fn of the same signature that pads L to
+    the axis size and strips the padding.  Reference hot loop this scales:
+    ``third_party/loftr/fine_matching.py:74-121`` (single-GPU).
+    """
+    n_dev = mesh.shape[axis]
+    sh = jax.shard_map(
+        fine_local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    sh = jax.jit(sh)
+
+    def call(params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids):
+        L = b_ids.shape[0]
+        pad = (-L) % n_dev
+        if pad:
+            b_ids = jnp.pad(b_ids, (0, pad))
+            i_ids = jnp.pad(i_ids, (0, pad))
+            j_ids = jnp.pad(j_ids, (0, pad))
+        out = sh(params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids, j_ids)
+        return out[:L]
+
+    return call
+
+
 def sharded_point_match(mesh, im_feat, pt_feat, temperature, im_mask=None,
                         pt_mask=None, temp_type: str = "mul",
                         mutual: bool = True, threshold: float = 0.0,

@@ -368,6 +368,9 @@ def _train_matcher(config, coarse: bool):
     exp = config.exp
     debug = bool(getattr(exp, "debug", False))
     np.random.seed(exp.seed)
+    # Propagate the experiment seed to the datasets (epoch-resample RNG).
+    if not getattr(config.data, "seed", None):
+        config.data.seed = exp.seed
     # The data axis must divide the global batch; shrink it if needed.
     # ``exp.gpus`` caps the mesh (the reference's --gpus knob).
     import math
@@ -394,6 +397,7 @@ def _train_matcher(config, coarse: bool):
     else:
         model = NeRFMatcherMS(C2FMatcherConfig.from_namespace(config.model))
     params = model.init_params(jax.random.PRNGKey(exp.seed))
+    params = _init_imagenet_backbone(model, params, config.model)
     if getattr(config.model, "coarse_ckpt", None) or \
             getattr(config.model, "c2f_ckpt", None) or \
             getattr(config.model, "finetune", None):
@@ -560,6 +564,94 @@ def _model_inputs(batch):
                 v = v.astype(np.float32)
             out[k] = v
     return out
+
+
+# Local filenames for the ImageNet convformer weights the reference pulls
+# via timm (``modules/__init__.py:16-17`` SUPPORTED table).
+TIMM_CKPT_NAMES = {
+    "convformer": "convformer_b36.sail_in1k.pth",
+    "convformer384": "convformer_b36.sail_in1k_384.pth",
+}
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _load_timm_state(ckpt):
+    """Raw timm state dict from a .pth (torch.save) or .npz archive."""
+    ckpt = Path(ckpt)
+    if ckpt.suffix == ".npz":
+        with np.load(ckpt) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    state = torch.load(ckpt, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):  # hub wrappers
+        if isinstance(state, dict) and key in state \
+                and isinstance(state[key], dict):
+            state = state[key]
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
+            np.asarray(v) for k, v in state.items()}
+
+
+def _init_imagenet_backbone(model, params, model_conf):
+    """ImageNet-pretrained ConvFormer init for from-scratch matcher training.
+
+    The reference always constructs its backbone with
+    ``timm.create_model(..., pretrained=True)``
+    (``modules/__init__.py:94-107``), so matcher training starts from
+    ImageNet weights; its stem surgery changes only strides/padding
+    (``modules/__init__.py:35-37``), never weight shapes, so raw timm
+    weights drop straight into the surgically-strided template here too.
+
+    This host has no network egress, so the weights come from a local
+    file: ``model.timm_ckpt`` (raw timm state dict, .pth or .npz),
+    defaulting to ``pretrained/<timm name>.pth`` for the convformer
+    aliases.  A configured-but-missing path fails loudly; an absent
+    default logs a prominent from-scratch warning (a quality-affecting
+    difference vs the reference).  Skipped when a full-model warm start
+    (coarse_ckpt/c2f_ckpt/finetune) is configured — those checkpoints
+    carry trained backbone weights that would overwrite this init anyway.
+    """
+    if not getattr(model_conf, "pretrained", False):
+        logger.info("model.pretrained=false: backbone trains from scratch")
+        return params
+    if any(getattr(model_conf, k, None)
+           for k in ("coarse_ckpt", "c2f_ckpt", "finetune")):
+        return params  # the warm-start checkpoint supplies the backbone
+    from .checkpoint import convert_timm_backbone
+
+    ckpt = getattr(model_conf, "timm_ckpt", None)
+    if ckpt is None:
+        name = TIMM_CKPT_NAMES.get(getattr(model_conf, "backbone", ""))
+        default = (_REPO_ROOT / "pretrained" / name) if name else None
+        if default is not None and default.exists():
+            ckpt = default
+        else:
+            logger.warning(
+                "model.pretrained=true but no ImageNet weights available "
+                f"(set model.timm_ckpt, or place {default or 'a timm ckpt'})"
+                " — the ConvFormer backbone trains FROM SCRATCH; expect "
+                "lower matcher quality than the reference, which always "
+                "starts from ImageNet (modules/__init__.py:94-107).")
+            return params
+    elif not Path(ckpt).exists():
+        # Configured-but-missing must fail, not silently burn the whole
+        # training budget on a random backbone.
+        raise FileNotFoundError(
+            f"configured model.timm_ckpt does not exist: {ckpt}")
+    state = _load_timm_state(ckpt)
+    new, missing = convert_timm_backbone(params["backbone"], state)
+    n_total = len(jax.tree_util.tree_leaves(params["backbone"]))
+    n_loaded = n_total - len(missing)
+    if n_loaded == 0:
+        raise ValueError(
+            f"timm checkpoint {ckpt} matched 0/{n_total} backbone leaves — "
+            "wrong architecture for model.backbone="
+            f"{getattr(model_conf, 'backbone', '?')}?")
+    params = dict(params)
+    params["backbone"] = new["backbone"]
+    logger.info(f"ImageNet init: {n_loaded}/{n_total} backbone leaves from "
+                f"{ckpt}; {len(missing)} (FPN/surgery extras) stay at init")
+    return params
 
 
 def _load_pretrained(model, params, model_conf):

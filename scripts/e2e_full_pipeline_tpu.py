@@ -24,6 +24,7 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/e2e_full_pipeline_tpu.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -41,7 +42,14 @@ DS = 8
 FOCAL = 160.0
 CAM_R = 2.0
 BALL_R = 0.7
+SHELL_R = 3.2   # E2E_ENCLOSED=1: enclosing shell -> indoor room scene
 N_TRAIN, N_TEST = 24, 6
+
+# E2E_ENCLOSED=1 encloses the ball in a textured shell so EVERY camera ray
+# terminates on geometry — the 7-Scenes-like depth profile (reference
+# data/setup_7scenes.py scenes are all interiors) that the early-ray-
+# termination quality gate (scripts/earlyterm_e2e_gate.py) must exercise.
+ENCLOSED = bool(int(os.environ.get("E2E_ENCLOSED", "0")))
 
 
 def look_at(eye):
@@ -73,11 +81,23 @@ def ball_image(K, c2w):
     hit = (disc > 0) & (t > 0)
     p = o + t[:, None] * dn
     normal = p / BALL_R
+    if ENCLOSED:
+        # Indoor room: non-ball rays terminate on the enclosing shell
+        # (inward normal modulated by a positional pattern — textured so
+        # the matcher can localize against wall points too).
+        t_sh = -b + np.sqrt(np.maximum(
+            b * b - (np.sum(o * o, -1) - SHELL_R**2), 0.0))
+        q = o + t_sh[:, None] * dn
+        n_in = -q / SHELL_R
+        mod = 0.6 + 0.4 * np.sin(2.5 * q[:, 0:1]) * np.cos(2.5 * q[:, 2:3])
+        bg = np.clip((0.5 * n_in + 0.5) * mod, 0, 1)
+    else:
+        bg = 0.02
     # Bands of the normal direction give high-frequency texture so the
     # matcher has something to latch onto.
     rgb = np.where(hit[:, None],
                    0.35 + 0.3 * normal + 0.25 * np.sin(6.0 * p),
-                   0.02)
+                   bg)
     return np.clip(rgb, 0, 1).reshape(H, W, 3), hit.reshape(H, W)
 
 

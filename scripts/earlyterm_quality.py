@@ -61,9 +61,14 @@ def main():
                   f"rays/s (single-chunk, no scan grouping)", flush=True)
             continue
         ref = outs[0.0]
-        # Realized skips show up as exact-zero tail weights per block.
-        wz = out["weights_fine"] if "weights_fine" in out else None
         msg = [f"eps={eps:g}: {rays.shape[0]/dt/1e3:7.1f}k rays/s"]
+        # Realized skips show up as exact-zero tail weights per z-block
+        # (a skipped block's trunk never runs, so its weights stay 0).
+        if "weights_fine" in out:
+            w = np.asarray(out["weights_fine"])
+            nblk = w.reshape(w.shape[0], sb, -1)
+            skipped = np.all(nblk == 0.0, axis=-1)
+            msg.append(f"block-skip frac {skipped.mean():.2f}")
         for k in sorted(ref):
             d = np.abs(out[k] - ref[k])
             msg.append(f"{k}: max {d.max():.2e} mean {d.mean():.2e}")

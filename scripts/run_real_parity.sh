@@ -11,6 +11,11 @@
 # Required artifacts and their sources:
 #   pretrained/nerf/...        per-scene NeRF Lightning ckpts   (gdown, see
 #   pretrained/nerfmatch/...   matcher Lightning ckpts           pretrained/download_pretrained.sh)
+#   pretrained/convformer_b36.sail_in1k_384.pth
+#                              ImageNet timm weights for from-scratch
+#                              matcher TRAINING (model.pretrained: true);
+#                              fetched by download_pretrained.sh, not needed
+#                              for the eval-only steps below
 #   data/annotations/...       transforms_<scene>_<split>.json  (gdown, see data/download_data.sh)
 #   data/pairs/...             retrieval pair txts              (gdown, same)
 #   data/7scenes/<scene>/...   raw RGB frames — NOT in the gdown bundles;

@@ -167,6 +167,21 @@ def test_match_pair_sanity_pnp(scene_dir):
     assert found_good, "no sample localized via GT matches"
 
 
+def test_epoch_resample_rng_seeded(scene_dir):
+    """Identically-seeded runs draw identical epoch_sample_num pair
+    sequences; different seeds (and different process ranks) diverge."""
+    def draws(seed):
+        cfg = match_config(scene_dir)
+        cfg.epoch_sample_num = 16
+        cfg.seed = seed
+        ds = NeRFMatchPair(cfg, split="train", val_num=4)
+        return [int(ds.rng.integers(len(ds.pair_ids))) for _ in range(32)]
+
+    a, b, c = draws(7), draws(7), draws(8)
+    assert a == b
+    assert a != c
+
+
 def test_data_loader_batching(scene_dir):
     loader = init_data_loader(match_config(scene_dir), num_workers=1,
                               batch_size=2, split="train")

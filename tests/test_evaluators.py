@@ -206,6 +206,101 @@ def test_eval_bs_batched_queries_match_single(scene):
                 assert bv == pytest.approx(sv, rel=1e-3, abs=1e-5), (k, b)
 
 
+class _StubNovelViewRenderer:
+    """Deterministic stand-in for the NeRF re-render: outputs are a pure
+    function of the pose estimate, so the per-query and batched --iters
+    paths must feed bit-identical inputs to the matcher to agree."""
+
+    unnorm_scene = np.eye(4, dtype=np.float32)
+
+    def __init__(self, base_pt3d, base_feat, extra_pts: int = 0):
+        self.base_pt3d = np.asarray(base_pt3d, np.float32)
+        self.base_feat = np.asarray(base_feat, np.float32)
+        self.extra = extra_pts
+
+    def render_novel_view(self, params, img_hw, K, c2w, unnorm_scene,
+                          downsample=8):
+        h = np.float32(np.sum(np.asarray(c2w, np.float64)) % 1.0)
+        pt3d, feat = self.base_pt3d, self.base_feat
+        if self.extra:
+            pt3d = np.concatenate([pt3d, pt3d[: self.extra]])
+            feat = np.concatenate([feat, feat[: self.extra]])
+        return dict(im_pred=None, pt3d=pt3d + 1e-4 * h,
+                    pt_feat=feat + 1e-4 * h)
+
+    def render_novel_views(self, params, img_hw, Ks, c2ws, unnorm_scenes,
+                           downsample=8):
+        outs = [self.render_novel_view(params, img_hw, Ks[b], c2ws[b],
+                                       unnorm_scenes[b], downsample)
+                for b in range(len(c2ws))]
+        return {k: (np.stack([o[k] for o in outs])
+                    if outs[0][k] is not None else None)
+                for k in outs[0]}
+
+
+@pytest.mark.parametrize("extra_pts", [0, 3])
+def test_eval_bs_iters2_matches_single(scene, extra_pts):
+    """--eval_bs + --iters 2: the batched re-render protocol must reproduce
+    the per-query loop bit-for-bit — live queries re-match against the
+    re-rendered points, PnP-failed queries keep/zero theirs, and a changed
+    point budget (extra_pts>0) reshapes cleanly."""
+    import optax
+    from nerfmatch_tpu.data import NeRFMatchPair
+    from nerfmatch_tpu.data.loaders import _collate
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+    from nerfmatch_tpu.utils.metrics import compute_matching_loss
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    ds = NeRFMatchPair(cfg.data, split="test", val_num=4)
+    items = [ds[0], ds[1]]
+    # Kill query 1's points: its PnP fails at iter 0, exercising the
+    # dead-query branch of the batched loop.
+    items[1]["pt_mask"] = np.zeros_like(items[1]["pt_mask"])
+
+    # Overfit the tiny matcher so PnP succeeds (real matches, same recipe
+    # as test_trained_matcher_localizes; conf_gt only exists off-test).
+    b0 = _collate([NeRFMatchPair(cfg.data, split="train", val_num=4)[0]])
+    img = jnp.asarray(b0["image"])
+    pt_feat = jnp.asarray(b0["pt_feat"])
+    pt3d = jnp.asarray(b0["pt3d"])
+    conf_gt = jnp.asarray(np.asarray(b0["conf_gt"], np.float32))
+    model, params = ev.model, ev.params
+    opt = optax.adam(4e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            out = model.forward_match(p, img, pt_feat, pt3d)
+            return compute_matching_loss(out["conf_matrix"], conf_gt,
+                                         clamp=True)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    for _ in range(600):
+        params, state, _ = step(params, state)
+    ev.params = params
+
+    stub = _StubNovelViewRenderer(items[0]["pt3d"], items[0]["pt_feat"],
+                                  extra_pts=extra_pts)
+    kw = dict(mutual=True, rthres=6.0, solver="colmap", iters=2,
+              renderer=stub, renderer_params={})
+    singles = [ev.eval_batch(_collate([items[i]]), **kw) for i in range(2)]
+    batched = ev.eval_batch(_collate(items), **kw)
+    assert np.isfinite(singles[0]["t_err"][0]), \
+        "test premise broken: query 0 should localize at iter 0"
+    for b in range(2):
+        assert batched["num_matches"][b] == singles[b]["num_matches"][0]
+        for k in ("R_err", "t_err"):
+            sv, bv = singles[b][k][0], batched[k][b]
+            if np.isinf(sv):
+                assert np.isinf(bv), (k, b)
+            else:
+                assert bv == pytest.approx(sv, rel=1e-3, abs=1e-5), (k, b)
+
+
 def test_retrieval_only_mode(scene):
     from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
     from nerfmatch_tpu.data import NeRFMatchPair

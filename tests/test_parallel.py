@@ -293,8 +293,11 @@ def test_point_sharded_eval_match_equals_dense():
 
 def test_point_sharded_ms_eval_match_equals_dense():
     """The c2f (NeRFMatcherMS) point-sharded eval: coarse dual-softmax
-    sharded over the mesh, fine subpixel stage replicated — must match the
-    dense eval_match including expec_f and the top-k lists."""
+    sharded over the point axis AND the fine subpixel stage sharded over
+    the match axis (make_sharded_fine_stage) — must match the dense
+    eval_match including expec_f and the top-k lists.  The point cloud is
+    Cambridge-shaped: a merged top-k=10 retrieval cloud (10x the
+    per-frame points)."""
     from nerfmatch_tpu.models.matcher_c2f import (
         C2FMatcherConfig, NeRFMatcherMS)
 
@@ -308,7 +311,7 @@ def test_point_sharded_ms_eval_match_equals_dense():
     params = model.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(4)
-    bs, hw, n = 1, 32, 64  # n divisible by the 8-device mesh
+    bs, hw, n = 1, 32, 64 * 10  # merged K=10 cloud, divisible by the mesh
     img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
     pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
     pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)

@@ -148,6 +148,135 @@ def test_c2f_matcher_train_loop(scene, tmp_path):
     assert np.all(np.isfinite(w))
 
 
+def _synthetic_timm_npz(backbone_params, path, shift=1.0):
+    """Raw-timm-format state dict (dotted ``stages.1.`` keys, torch layouts)
+    holding ``leaf + shift`` for every backbone leaf, saved as .npz."""
+    import jax
+    from nerfmatch_tpu.train.checkpoint import _torch_key_for_path
+
+    state = {}
+    flat, _ = jax.tree_util.tree_flatten_with_path({"backbone": backbone_params})
+    for keypath, leaf in flat:
+        p = tuple(k.key if hasattr(k, "key") else k.idx for k in keypath)
+        tkey = _torch_key_for_path(p)[len("backbone."):]
+        import re
+        tkey = re.sub(r"^stages_(\d+)\.", r"stages.\1.", tkey)
+        v = np.asarray(leaf, np.float32) + shift
+        if v.ndim == 4:
+            v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+        elif v.ndim == 2 and p[-1] == "weight":
+            v = v.T
+        state[tkey] = v
+    np.savez(path, **state)
+    return state
+
+
+def _capture_trainer_logs():
+    import contextlib
+    import logging
+
+    from nerfmatch_tpu.train import matcher_trainer as mt
+
+    @contextlib.contextmanager
+    def cm(records):
+        h = logging.Handler()
+        h.emit = lambda r: records.append(r.getMessage())
+        mt.logger.addHandler(h)
+        try:
+            yield
+        finally:
+            mt.logger.removeHandler(h)
+    return cm
+
+
+def test_imagenet_backbone_init_roundtrip(tmp_path):
+    """A synthetic raw-timm state dict flows through the trainer's
+    ImageNet-init path and lands in the backbone params."""
+    import jax
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.train.matcher_trainer import _init_imagenet_backbone
+
+    model = NeRFMatcherCoarse(CoarseMatcherConfig(
+        backbone="tiny", cfeat_dim=32, pt_dim=FEAT_DIM))
+    params = model.init_params(jax.random.PRNGKey(0))
+    npz = tmp_path / "timm_tiny.npz"
+    _synthetic_timm_npz(params["backbone"], npz, shift=1.0)
+
+    conf = dict2namespace({"backbone": "tiny", "pretrained": True,
+                           "timm_ckpt": str(npz)})
+    new = _init_imagenet_backbone(model, dict(params), conf)
+    # Every backbone leaf took the checkpoint value (init + 1)...
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params["backbone"]),
+            jax.tree_util.tree_leaves_with_path(new["backbone"])):
+        assert ka == kb
+        assert np.allclose(np.asarray(b), np.asarray(a) + 1.0, atol=1e-6), ka
+    # ...and non-backbone leaves are untouched.
+    assert new["temperature"] is params["temperature"]
+
+
+def test_imagenet_backbone_init_missing_and_scratch(tmp_path):
+    import jax
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.train.matcher_trainer import _init_imagenet_backbone
+
+    model = NeRFMatcherCoarse(CoarseMatcherConfig(
+        backbone="tiny", cfeat_dim=32, pt_dim=FEAT_DIM))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # Configured-but-missing fails loudly.
+    conf = dict2namespace({"backbone": "tiny", "pretrained": True,
+                           "timm_ckpt": str(tmp_path / "nope.pth")})
+    with pytest.raises(FileNotFoundError):
+        _init_imagenet_backbone(model, params, conf)
+
+    # pretrained=true with no weights available: loud from-scratch warning,
+    # params unchanged.
+    records = []
+    with _capture_trainer_logs()(records):
+        out = _init_imagenet_backbone(
+            model, params,
+            dict2namespace({"backbone": "tiny", "pretrained": True}))
+    assert any("FROM SCRATCH" in m for m in records), records
+    assert out is params
+
+    # A warm-start checkpoint suppresses the timm init entirely.
+    records2 = []
+    with _capture_trainer_logs()(records2):
+        out2 = _init_imagenet_backbone(
+            model, params,
+            dict2namespace({"backbone": "tiny", "pretrained": True,
+                            "coarse_ckpt": "x.ckpt",
+                            "timm_ckpt": str(tmp_path / "nope.pth")}))
+    assert out2 is params and not records2
+
+
+def test_train_coarse_uses_imagenet_init(scene, tmp_path):
+    """train() itself invokes the ImageNet init: a distinctive stem-bias
+    value from the timm ckpt survives one debug epoch of training."""
+    import jax
+    from nerfmatch_tpu.models.matcher_coarse import (
+        CoarseMatcherConfig, NeRFMatcherCoarse)
+    from nerfmatch_tpu.train.matcher_trainer import train_coarse
+
+    cfg = matcher_config(scene, tmp_path, coarse=True)
+    tmpl = NeRFMatcherCoarse(
+        CoarseMatcherConfig.from_namespace(cfg.model)).init_params(
+            jax.random.PRNGKey(cfg.exp.seed))
+    npz = tmp_path / "timm_tiny.npz"
+    _synthetic_timm_npz(tmpl["backbone"], npz, shift=3.0)
+    cfg.model.pretrained = True
+    cfg.model.timm_ckpt = str(npz)
+    _, params = train_coarse(cfg)
+    bias = np.asarray(params["backbone"]["stem"]["conv"]["bias"])
+    init = np.asarray(tmpl["backbone"]["stem"]["conv"]["bias"])
+    # Started from init+3, nudged by a few small grad steps — nowhere near
+    # the from-scratch init values.
+    assert np.all(np.abs(bias - (init + 3.0)) < 0.5), bias
+
+
 def test_eval_batch_pose_shapes(scene):
     """Host PnP val path produces per-sample errors."""
     import jax
