@@ -81,11 +81,17 @@ def make_inputs(bs):
     )
 
 
-def make_loss(model, inp, from_fmap=False):
-    """Mirrors matcher_trainer.C2FTrainStep.body's loss_fn."""
+def make_loss(model, from_fmap=False):
+    """Mirrors matcher_trainer.C2FTrainStep.body's loss_fn.
+
+    ``inp`` is an ARGUMENT, never a closure capture: a captured device
+    array is baked into the jaxpr as a constant, and the (bs, 3600, 3600)
+    conf_gt literal alone is 104 MB of HLO that the axon remote-compile
+    POST then ships per program — measured >30 min per compile vs ~3 min
+    with inputs passed as arguments."""
     cfg = model.cfg
 
-    def loss_fn(p, fmaps=None):
+    def loss_fn(p, inp, fmaps=None):
         k_rand, k_pad = jax.random.split(inp["key"])
         if from_fmap:
             im_cfeat, fmap_f = model.im_feat_from_fmap(p, fmaps)
@@ -140,28 +146,45 @@ def scalarize(tree, seed=0.0):
     return acc
 
 
+ALL_VARIANTS = ("full_adam", "full_noopt", "fwd_only", "fwd_bwd", "bb_fwd",
+                "bb_fwd_bwd", "nobb_fwd_bwd", "noattn_fb", "cost")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=2)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of variants to run (resumable across "
+                         "processes; results land in /tmp/matcher_roofline_"
+                         "bs{N}.json)")
     args = ap.parse_args()
     bs = args.bs
+    want = set(args.only or ALL_VARIANTS)
 
     model = NeRFMatcherMS(model_config())
     params = model.init_params(jax.random.PRNGKey(0))
     inp = make_inputs(bs)
-    loss = make_loss(model, inp)
-    loss_fm = make_loss(model, inp, from_fmap=True)
+    loss = make_loss(model)
+    loss_fm = make_loss(model, from_fmap=True)
 
-    res = {}
+    # Resumable result store: each variant is one compile through the slow
+    # remote-compile tunnel, so partial runs must not lose finished numbers.
+    store = Path(f"/tmp/matcher_roofline_bs{bs}.json")
+    res = json.loads(store.read_text()) if store.exists() else {}
+
+    def record(name, val):
+        res[name] = val
+        store.write_text(json.dumps(res, indent=1, default=float))
+        print(f"{name:>13}: {val:7.1f}", flush=True)
 
     # -- full step variants -------------------------------------------
     def step_with(opt):
         opt_state = opt.init(params)
 
         @jax.jit
-        def step(p, s):
+        def step(p, s, i):
             with fused_attention_scope(True):
-                l, g = jax.value_and_grad(lambda q: loss(q))(p)
+                l, g = jax.value_and_grad(lambda q: loss(q, i))(p)
             up, s = opt.update(g, s, p)
             return scalarize((optax.apply_updates(p, up), s), l)
 
@@ -169,96 +192,101 @@ def main():
 
     for name, opt in [("full_adam", optax.adam(1e-4)),
                       ("full_noopt", optax.set_to_zero())]:
+        if name not in want:
+            continue
         fn, st = step_with(opt)
-        res[name] = timeit(fn, (params, st))
-        print(f"{name:>13}: {res[name]:7.1f} ms", flush=True)
+        record(name, timeit(fn, (params, st, inp)))
 
     # -- forward / fwd+bwd --------------------------------------------
     @jax.jit
-    def fwd(p):
+    def fwd(p, i):
         with fused_attention_scope(True):
-            return loss(p)
+            return loss(p, i)
 
     @jax.jit
-    def fwd_bwd(p):
+    def fwd_bwd(p, i):
         with fused_attention_scope(True):
-            l, g = jax.value_and_grad(lambda q: loss(q))(p)
+            l, g = jax.value_and_grad(lambda q: loss(q, i))(p)
         return scalarize(g, l)
 
-    res["fwd_only"] = timeit(fwd, (params,))
-    print(f"{'fwd_only':>13}: {res['fwd_only']:7.1f} ms", flush=True)
-    res["fwd_bwd"] = timeit(fwd_bwd, (params,))
-    print(f"{'fwd_bwd':>13}: {res['fwd_bwd']:7.1f} ms", flush=True)
+    if "fwd_only" in want:
+        record("fwd_only", timeit(fwd, (params, inp)))
+    if "fwd_bwd" in want:
+        record("fwd_bwd", timeit(fwd_bwd, (params, inp)))
 
     # -- backbone trunk ------------------------------------------------
-    @jax.jit
-    def bb_fwd(p):
-        fc, ff = model.im_backbone(p, inp["img"])
+    def bb_fwd_inner(p, img):
+        fc, ff = model.im_backbone(p, img)
         return jnp.sum(fc) + jnp.sum(ff)
 
     @jax.jit
-    def bb_fwd_bwd(p):
-        l, g = jax.value_and_grad(
-            lambda q: bb_fwd_inner(q))(p)
+    def bb_fwd(p, img):
+        return bb_fwd_inner(p, img)
+
+    @jax.jit
+    def bb_fwd_bwd(p, img):
+        l, g = jax.value_and_grad(lambda q: bb_fwd_inner(q, img))(p)
         return scalarize(g, l)
 
-    def bb_fwd_inner(p):
-        fc, ff = model.im_backbone(p, inp["img"])
-        return jnp.sum(fc) + jnp.sum(ff)
-
-    res["bb_fwd"] = timeit(bb_fwd, (params,))
-    print(f"{'bb_fwd':>13}: {res['bb_fwd']:7.1f} ms", flush=True)
-    res["bb_fwd_bwd"] = timeit(bb_fwd_bwd, (params,))
-    print(f"{'bb_fwd_bwd':>13}: {res['bb_fwd_bwd']:7.1f} ms", flush=True)
+    if "bb_fwd" in want:
+        record("bb_fwd", timeit(bb_fwd, (params, inp["img"])))
+    if "bb_fwd_bwd" in want:
+        record("bb_fwd_bwd", timeit(bb_fwd_bwd, (params, inp["img"])))
 
     # -- everything after the trunk -----------------------------------
-    fmaps = jax.jit(lambda p: model.im_backbone(p, inp["img"]))(params)
-    fmaps = jax.tree_util.tree_map(jax.lax.stop_gradient, fmaps)
+    if "nobb_fwd_bwd" in want:
+        fmaps = jax.jit(model.im_backbone)(params, inp["img"])
+        fmaps = jax.tree_util.tree_map(jax.lax.stop_gradient, fmaps)
 
-    @jax.jit
-    def nobb_fwd_bwd(p, fm):
-        with fused_attention_scope(True):
-            l, g = jax.value_and_grad(lambda q: loss_fm(q, fm))(p)
-        return scalarize(g, l)
+        @jax.jit
+        def nobb_fwd_bwd(p, i, fm):
+            with fused_attention_scope(True):
+                l, g = jax.value_and_grad(lambda q: loss_fm(q, i, fm))(p)
+            return scalarize(g, l)
 
-    res["nobb_fwd_bwd"] = timeit(nobb_fwd_bwd, (params, fmaps))
-    print(f"{'nobb_fwd_bwd':>13}: {res['nobb_fwd_bwd']:7.1f} ms", flush=True)
+        record("nobb_fwd_bwd", timeit(nobb_fwd_bwd, (params, inp, fmaps)))
 
     # -- attention ablation ---------------------------------------------
-    model_na = NeRFMatcherMS(model_config(ablate_attn=True))
-    params_na = model_na.init_params(jax.random.PRNGKey(0))
-    loss_na = make_loss(model_na, inp)
+    if "noattn_fb" in want:
+        model_na = NeRFMatcherMS(model_config(ablate_attn=True))
+        params_na = model_na.init_params(jax.random.PRNGKey(0))
+        loss_na = make_loss(model_na)
 
-    @jax.jit
-    def noattn_fb(p):
-        l, g = jax.value_and_grad(lambda q: loss_na(q))(p)
-        return scalarize(g, l)
+        @jax.jit
+        def noattn_fb(p, i):
+            l, g = jax.value_and_grad(lambda q: loss_na(q, i))(p)
+            return scalarize(g, l)
 
-    res["noattn_fb"] = timeit(noattn_fb, (params_na,))
-    print(f"{'noattn_fb':>13}: {res['noattn_fb']:7.1f} ms", flush=True)
+        record("noattn_fb", timeit(noattn_fb, (params_na, inp)))
 
     # -- XLA cost model floor -------------------------------------------
-    try:
-        fn, st = step_with(optax.adam(1e-4))
-        ca = fn.lower(params, st).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        res["xla_flops"] = float(ca.get("flops", float("nan")))
-    except Exception as e:  # cost model availability varies by backend
-        print(f"# cost_analysis unavailable: {e}")
-        res["xla_flops"] = float("nan")
+    if "cost" in want:
+        try:
+            fn, st = step_with(optax.adam(1e-4))
+            ca = fn.lower(params, st, inp).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            res["xla_flops"] = float(ca.get("flops", float("nan")))
+        except Exception as e:  # cost model availability varies by backend
+            print(f"# cost_analysis unavailable: {e}")
+            res["xla_flops"] = float("nan")
+        store.write_text(json.dumps(res, indent=1, default=float))
 
     # -- derived shares --------------------------------------------------
-    d = {
-        "adam_glue": res["full_adam"] - res["full_noopt"],
-        "backward": res["fwd_bwd"] - res["fwd_only"],
-        "conv_fwd": res["bb_fwd"],
-        "conv_bwd": res["bb_fwd_bwd"] - res["bb_fwd"],
-        "post_trunk_fb": res["nobb_fwd_bwd"],
-        "attention_fb": res["fwd_bwd"] - res["noattn_fb"],
-        "overlap_residual": res["fwd_bwd"]
-        - (res["bb_fwd_bwd"] + res["nobb_fwd_bwd"]),
-    }
-    if np.isfinite(res["xla_flops"]):
+    d = {}
+    have = {k for k, v in res.items() if isinstance(v, (int, float))}
+
+    def derive(name, pos, neg=()):
+        if set(pos) | set(neg) <= have:
+            d[name] = sum(res[k] for k in pos) - sum(res[k] for k in neg)
+
+    derive("adam_glue", ["full_adam"], ["full_noopt"])
+    derive("backward", ["fwd_bwd"], ["fwd_only"])
+    derive("conv_fwd", ["bb_fwd"])
+    derive("conv_bwd", ["bb_fwd_bwd"], ["bb_fwd"])
+    derive("post_trunk_fb", ["nobb_fwd_bwd"])
+    derive("attention_fb", ["fwd_bwd"], ["noattn_fb"])
+    derive("overlap_residual", ["fwd_bwd"], ["bb_fwd_bwd", "nobb_fwd_bwd"])
+    if np.isfinite(res.get("xla_flops", float("nan"))):
         # v5e bf16 peak 197 TFLOP/s; f32 ops (the conv trunk default)
         # run the MXU at ~1/4 bf16 -> report both bounds.
         d["mxu_floor_bf16_ms"] = res["xla_flops"] / 197e12 * 1e3
