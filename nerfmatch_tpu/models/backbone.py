@@ -24,6 +24,7 @@ A ``tiny`` variant (depths 1+1, dims 16+32) exists for tests.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
 import jax
@@ -108,9 +109,41 @@ def _init_sep_conv(key, dim, expansion):
     }
 
 
+_FUSED_SEPCONV = [True]
+
+
+@contextlib.contextmanager
+def fused_sepconv_scope(enabled: bool = True):
+    """Trace-time gate for the hybrid StarReLU+dw7x7 token-mixer core
+    (XLA forward, Pallas backward — see ``ops/pallas/sepconv_kernel``).
+
+    Default ON: ``dw_star_available`` already excludes non-TPU backends
+    and odd shapes; the forward is the same XLA composition as the
+    unfused path, and the Pallas backward is exact f32 (bit-exact vs a
+    HIGHEST-precision grouped conv — XLA's own dw wgrad runs one-pass
+    bf16).  The scope exists to force the plain-autodiff path for A/B
+    probes and oracle tests."""
+    _FUSED_SEPCONV.append(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_SEPCONV.pop()
+
+
 def _sep_conv(p, x):
     """x: (N, H, W, C) channels-last throughout (dwconv is HWIO grouped)."""
     h = linear(p["pwconv1"], x)
+    dw_w = p["dwconv"]["weight"]
+    if _FUSED_SEPCONV[-1]:
+        from ..ops.pallas.sepconv_kernel import dw_star, dw_star_available
+        if dw_star_available(h, dw_w):
+            # StarReLU + 7x7 depthwise with a Pallas custom VJP — XLA's
+            # autodiff lowers each stage-0 dw wgrad to a ~3.3 ms mega-
+            # reduction fusion at the production step (scripts/
+            # trunk_bwd_probe.py, prof_step trace in PARITY).
+            h = dw_star(h, dw_w[:, :, 0, :], p["dwconv"]["bias"],
+                        p["act1"]["scale"], p["act1"]["bias"])
+            return linear(p["pwconv2"], h)
     h = _star_relu(p["act1"], h)
     h = conv2d(p["dwconv"], h, stride=1, padding=3, groups=h.shape[-1])
     return linear(p["pwconv2"], h)
