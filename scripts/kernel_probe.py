@@ -138,19 +138,41 @@ def make_stage(variant: str, ray_tile: int = 16):
             return jnp.dot(a.astype(jnp.bfloat16), b,
                            preferred_element_type=jnp.float32)
 
-        h = mm(xb, w["w0"][...])
-        if variant not in ("norelu", "mlponly"):
-            h = h + w["b0"][...] if variant != "nobias" else h
-            h = jax.nn.relu(h)
-        for i in range(1, LAYERS):
-            acc = mm(h, w[f"w{i}"][...])
-            if i == 4:
-                acc = acc + mm(xb, w[f"w{i}s"][...])
+        if variant == "i8":
+            # sequential int8 serving trunk (render_kernel trunk_int8
+            # structure) — the pipe_i8 comparator
+            def i8mm(a, b):
+                return jnp.dot(a, b, preferred_element_type=jnp.int32
+                               ).astype(jnp.float32)
+
+            def sat8(y):
+                return jnp.clip(y, -127, 127).astype(jnp.int8)
+
+            xq = sat8(jnp.round(xb.astype(jnp.float32) * w["qenc"][...]))
+            hq = xq
+            for k in range(LAYERS - 1):
+                acc = i8mm(hq if k else xq, w[f"w{k}q"][...])
+                if k == 4:
+                    acc = acc + i8mm(xq, w["w4sq"][...])
+                hq = sat8(jnp.maximum(acc * w[f"c{k}"][...]
+                                      + w[f"B{k}"][...], 0.5))
+            h = jax.nn.relu(
+                i8mm(hq, w[f"w{LAYERS - 1}q"][...]) * w["slast"][...]
+                + w[f"b{LAYERS - 1}"][...])
+        else:
+            h = mm(xb, w["w0"][...])
             if variant not in ("norelu", "mlponly"):
-                if variant != "nobias":
-                    acc = acc + w[f"b{i}"][...]
-                acc = jax.nn.relu(acc)
-            h = acc
+                h = h + w["b0"][...] if variant != "nobias" else h
+                h = jax.nn.relu(h)
+            for i in range(1, LAYERS):
+                acc = mm(h, w[f"w{i}"][...])
+                if i == 4:
+                    acc = acc + mm(xb, w[f"w{i}s"][...])
+                if variant not in ("norelu", "mlponly"):
+                    if variant != "nobias":
+                        acc = acc + w[f"b{i}"][...]
+                    acc = jax.nn.relu(acc)
+                h = acc
 
         if variant == "lite":
             sigma_raw = jnp.sum(h.reshape(R, S, HID) * w["wa"][...][None, None, :],
@@ -213,6 +235,16 @@ def make_stage(variant: str, ray_tile: int = 16):
         weights[f"b{i}"] = jnp.zeros((HID,), jnp.float32)
         if i:
             weights[f"w{i}"] = jnp.ones((HID, HID), jnp.bfloat16) * 0.01
+    if variant == "i8":
+        weights["qenc"] = jnp.full((1, 128), 64.0, jnp.float32)
+        weights["slast"] = jnp.full((1, HID), 1e-4, jnp.float32)
+        weights["w4sq"] = jnp.ones((128, HID), jnp.int8)
+        for k in range(LAYERS):
+            weights[f"w{k}q"] = jnp.ones(
+                (128 if k == 0 else HID, HID), jnp.int8)
+            if k < LAYERS - 1:
+                weights[f"c{k}"] = jnp.full((1, HID), 1e-4, jnp.float32)
+                weights[f"B{k}"] = jnp.full((1, HID), 0.5, jnp.float32)
     names.extend(sorted(weights))
 
     def run(o8, d8, z, tmvr, extras):
@@ -249,10 +281,15 @@ def make_stage(variant: str, ray_tile: int = 16):
     return run
 
 
-def make_pipe(ray_tile: int = 16):
+def make_pipe(ray_tile: int = 16, int8: bool = False):
     """Software-pipelined stage: encode (VPU trig) of tile i runs in the same
     grid step as the MLP (MXU) of tile i-1, through a double-buffered VMEM
-    scratch — independent chains the scheduler can overlap."""
+    scratch — independent chains the scheduler can overlap.
+
+    ``int8``: run the trunk as the quantized serving chain (qenc/requant/
+    saturating-cast structure of render_kernel's trunk_int8 branch) — the
+    VERDICT r3 re-measure: with the MXU chain at ~0.63x, is the VPU
+    epilogue now worth pipelining?"""
     spec = FusedRenderSpec(ray_tile=ray_tile)
     R = ray_tile
     T = R * S
@@ -299,12 +336,33 @@ def make_pipe(ray_tile: int = 16):
                 return jnp.dot(a.astype(jnp.bfloat16), b,
                                preferred_element_type=jnp.float32)
 
-            h = jax.nn.relu(mm(xb, w["w0"][...]) + w["b0"][...])
-            for k in range(1, LAYERS):
-                acc = mm(h, w[f"w{k}"][...])
-                if k == 4:
-                    acc = acc + mm(xb, w[f"w{k}s"][...])
-                h = jax.nn.relu(acc + w[f"b{k}"][...])
+            if int8:
+                def i8mm(a, b):
+                    return jnp.dot(a, b, preferred_element_type=jnp.int32
+                                   ).astype(jnp.float32)
+
+                def sat8(y):
+                    return jnp.clip(y, -127, 127).astype(jnp.int8)
+
+                xq = sat8(jnp.round(xb.astype(jnp.float32)
+                                    * w["qenc"][...]))
+                hq = xq
+                for k in range(LAYERS - 1):
+                    acc = i8mm(hq if k else xq, w[f"w{k}q"][...])
+                    if k == 4:
+                        acc = acc + i8mm(xq, w["w4sq"][...])
+                    hq = sat8(jnp.maximum(acc * w[f"c{k}"][...]
+                                          + w[f"B{k}"][...], 0.5))
+                h = jax.nn.relu(
+                    i8mm(hq, w[f"w{LAYERS - 1}q"][...]) * w["slast"][...]
+                    + w[f"b{LAYERS - 1}"][...])
+            else:
+                h = jax.nn.relu(mm(xb, w["w0"][...]) + w["b0"][...])
+                for k in range(1, LAYERS):
+                    acc = mm(h, w[f"w{k}"][...])
+                    if k == 4:
+                        acc = acc + mm(xb, w[f"w{k}s"][...])
+                    h = jax.nn.relu(acc + w[f"b{k}"][...])
             feature = mm(h, w["wf"][...])
             sigma_raw = mm(h, w["wa_col"][...])[:, 0].reshape(R, S)
             hv = mm(feature, w["wvh"][...])
@@ -340,6 +398,17 @@ def make_pipe(ray_tile: int = 16):
         weights[f"b{k}"] = jnp.zeros((HID,), jnp.float32)
         if k:
             weights[f"w{k}"] = jnp.ones((HID, HID), jnp.bfloat16) * 0.01
+    if int8:
+        # synthetic quantized trunk (values keep hq in-range; timing only)
+        weights["qenc"] = jnp.full((1, 128), 64.0, jnp.float32)
+        weights["slast"] = jnp.full((1, HID), 1e-4, jnp.float32)
+        weights["w4sq"] = jnp.ones((128, HID), jnp.int8)
+        for k in range(LAYERS):
+            weights[f"w{k}q"] = jnp.ones(
+                (128 if k == 0 else HID, HID), jnp.int8)
+            if k < LAYERS - 1:
+                weights[f"c{k}"] = jnp.full((1, HID), 1e-4, jnp.float32)
+                weights[f"B{k}"] = jnp.full((1, HID), 0.5, jnp.float32)
     names.extend(sorted(weights))
 
     def run(o8, d8, z, tmvr, extras):
@@ -430,7 +499,8 @@ def main(variants):
         batch = 36864 if v == "batch4x" else 9216
         tile = 32 if v == "bigtile" else 16
         kv = "base" if v in ("bigtile", "batch4x") else v
-        raw = (make_pipe(ray_tile=tile) if kv == "pipe"
+        raw = (make_pipe(ray_tile=tile, int8=kv.endswith("_i8"))
+               if kv.startswith("pipe")
                else make_stage(kv, ray_tile=tile))
         # Checksum fetch: returning the (N,128)+(N,S) outputs ships ~9 MB
         # per call through the ~30 MB/s tunnel and dominates the timing.
