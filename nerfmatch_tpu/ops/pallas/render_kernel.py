@@ -138,6 +138,17 @@ class FusedRenderSpec:
                                  # 7.9e-4); both-stage 3.9e-3 — above the
                                  # bf16 noise floor, hence NOT the
                                  # benchmark default.  Heads stay bf16/f32.
+    ablate: str = ""             # DIAGNOSTIC ONLY (scripts/stage_probe.py):
+                                 # comma-joined pieces to stub out of the
+                                 # blocked body so their cost can be timed
+                                 # in the PRODUCTION kernel (outputs become
+                                 # meaningless).  Pieces: "ipe" (sin/exp ->
+                                 # multiply), "moments" (constant t/tv/rv
+                                 # cols), "requant" (int8 epilogue -> plain
+                                 # relu-less cast), "composite" (skip the
+                                 # weights/feat/rgb accumulation epilogue),
+                                 # "split2" (exact dots -> plain bf16).
+                                 # Empty (default) = the real kernel.
 
 
 def _split2cat(x, axis):
@@ -399,6 +410,19 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             return jnp.dot(a.astype(jnp.bfloat16), b,
                            preferred_element_type=jnp.float32)
 
+        abl = set(filter(None, spec.ablate.split(",")))
+        if "split2" in abl:
+            # diagnostic: plain one-pass bf16 dots against the UNDOUBLED
+            # half of the partner (timing the split-2 exactness cost).
+            def mmx2(a, b, split_b=False):
+                if split_b:
+                    return jnp.dot(a[:, : b.shape[0]], b,
+                                   preferred_element_type=jnp.float32)
+                return jnp.dot(a, b[: a.shape[1]],
+                               preferred_element_type=jnp.float32)
+        else:
+            mmx2 = _mm_f32x2
+
         rays = refs[0][...]                       # (R, 12)
         z = refs[1][...]                          # (R, S+1)
         app = refs[2][...] if spec.app_dim else None
@@ -412,20 +436,20 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         # damping exponent is harmless.
         E = wrefs["_E"][...]                      # (Tb, R)
         E2 = wrefs["_E2"][...]                    # (Tb, 2R) = [E | E]
-        oS = _mm_f32x2(rays, wrefs["_SpO2"][...])
-        dS = _mm_f32x2(rays, wrefs["_SpV2"][...])
+        oS = mmx2(rays, wrefs["_SpO2"][...])
+        dS = mmx2(rays, wrefs["_SpV2"][...])
         dQ = rowmm(rays * rays, wrefs["_SqV"][...])
         r2 = rays[:, 11:12] ** 2
-        oS_T = _mm_f32x2(E2, oS, split_b=True)    # (Tb, 128)
-        dS_T = _mm_f32x2(E2, dS, split_b=True)
+        oS_T = mmx2(E2, oS, split_b=True)    # (Tb, 128)
+        dS_T = mmx2(E2, dS, split_b=True)
         dQ_T = rowmm(E, dQ)
         nQ_T = wrefs["_sqrow"][...] - dQ_T
         if spec.ret_rgb:
-            extras = (_fast_sin(_mm_f32x2(rays, wrefs["_Pd2"][...])
+            extras = (_fast_sin(mmx2(rays, wrefs["_Pd2"][...])
                                 + wrefs["_phd"][...]) * wrefs["_trg"][...]
-                      + _mm_f32x2(rays, wrefs["_SelRaw2"][...]))
+                      + mmx2(rays, wrefs["_SelRaw2"][...]))
             if spec.app_dim:
-                extras = extras + _mm_f32x2(app, wrefs["_SelApp2"][...])
+                extras = extras + mmx2(app, wrefs["_SelApp2"][...])
             xt = jnp.dot(extras.astype(jnp.bfloat16), wrefs["wvx"][...],
                          preferred_element_type=jnp.float32)  # (R, hv)
 
@@ -459,22 +483,30 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 # lane-reduce per moment to reach the (Tb, 1) columns the
                 # IPE pre-activations broadcast over.  t_mean feeds the
                 # sin phase -> split-2 expansion (exact for one-hot E).
-                tv = hw**2 / 3.0 - (4.0 / 15.0) * (
-                    hw**4 * (12.0 * mu**2 - hw**2)) / den**2
-                rv = r2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                           - (4.0 / 15.0) * hw**4 / den)
-                pack3 = jnp.concatenate([t_mean, tv, rv], axis=1)
-                X3 = _mm_f32x2(E2, pack3, split_b=True)   # (Tb, 3*Sb)
-                t_col = jnp.sum(X3 * wrefs["_Mt"][...], axis=-1,
-                                keepdims=True)
-                tv_col = jnp.sum(X3 * wrefs["_Mv"][...], axis=-1,
-                                 keepdims=True)
-                rv_col = jnp.sum(X3 * wrefs["_Mr"][...], axis=-1,
-                                 keepdims=True)
+                if "moments" in abl:   # diagnostic: constant moment cols
+                    t_col = dQ_T[:, :1] * 0.0 + 0.5
+                    tv_col = t_col * 0.02
+                    rv_col = t_col * 0.01
+                else:
+                    tv = hw**2 / 3.0 - (4.0 / 15.0) * (
+                        hw**4 * (12.0 * mu**2 - hw**2)) / den**2
+                    rv = r2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                               - (4.0 / 15.0) * hw**4 / den)
+                    pack3 = jnp.concatenate([t_mean, tv, rv], axis=1)
+                    X3 = mmx2(E2, pack3, split_b=True)   # (Tb, 3*Sb)
+                    t_col = jnp.sum(X3 * wrefs["_Mt"][...], axis=-1,
+                                    keepdims=True)
+                    tv_col = jnp.sum(X3 * wrefs["_Mv"][...], axis=-1,
+                                     keepdims=True)
+                    rv_col = jnp.sum(X3 * wrefs["_Mr"][...], axis=-1,
+                                     keepdims=True)
 
                 pre = oS_T + t_col * dS_T + wrefs["_phase"][...]
                 vs = tv_col * dQ_T + rv_col * nQ_T
-                xb_f = _fast_exp(-0.5 * vs) * _fast_sin(pre)
+                if "ipe" in abl:       # diagnostic: no transcendentals
+                    xb_f = pre * vs
+                else:
+                    xb_f = _fast_exp(-0.5 * vs) * _fast_sin(pre)
 
                 if spec.trunk_int8:
                     # int8 serving trunk (ops/pallas/quant.py): the whole
@@ -510,6 +542,10 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                             h = jax.nn.relu(h + wrefs[f"b{i}"][...])
                             if feat_tap is None:
                                 feat_tap = h
+                        elif "requant" in abl:  # diagnostic: no epilogue
+                            if i == spec.feat_layer and spec.ret_feat:
+                                feat_tap = acc_h
+                            hq = sat8(acc_h)
                         else:
                             y = acc_h * wrefs[f"c{i}"][...]
                             if f"w{i}sq" in wrefs:
@@ -548,13 +584,32 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 dists = t1 - t0
                 sigma = jax.nn.relu(sigma_raw)
                 alpha = 1.0 - jnp.exp(-sigma * dists)
-                log_t = jnp.log(1.0 - alpha + 1e-10)
-                prev = logt_scr[:, 0:1]
-                # Split-2: a DEFAULT bf16 pass truncates log-transmittance
-                # sums (O(10) magnitudes) to ~4e-2 absolute -> 4% noise on
-                # every weight's exponent.
-                csum = _mm_f32x2(log_t, wrefs["_tri2"][...]) + prev
-                weights = alpha * jnp.exp(csum)           # (R, Sb)
+                if "logt" in abl:      # diagnostic: no transmittance chain
+                    log_t = alpha * -1e-3
+                    weights = alpha
+                else:
+                    log_t = jnp.log(1.0 - alpha + 1e-10)
+                    prev = logt_scr[:, 0:1]
+                    # Split-2: a DEFAULT bf16 pass truncates
+                    # log-transmittance sums (O(10) magnitudes) to ~4e-2
+                    # absolute -> 4% noise on every weight's exponent.
+                    csum = mmx2(log_t, wrefs["_tri2"][...]) + prev
+                    weights = alpha * jnp.exp(csum)       # (R, Sb)
+
+                if "wsum" in abl:      # diagnostic: liveness-only writes
+                    w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
+                    depth_ref[...] += weights[:, :1]
+                    acc_ref[...] += alpha[:, :1]
+                    if rgb_ref is not None:
+                        rgb_ref[...] += rgb[:, 0]
+                    if feat_ref is not None:
+                        feat_ref[...] += feat_tap.reshape(R, Sb, hid)[:, 0]
+                        if tw_scr is not None:
+                            tw_scr[...] = tw_scr[...] + weights[:, :1]
+                        if mx_scr is not None:
+                            mx_scr[:, 0:1] = weights[:, :1]
+                    logt_scr[...] = logt_scr[...] + log_t[:, :1]
+                    return
 
                 w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
                 depth_ref[...] += jnp.sum(weights * mu, axis=-1,
@@ -610,12 +665,12 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
             # a DEFAULT pass would round ray origins to bf16 (4e-3 rel).
             # lin: sum_s w (o + t d) = o*acc + d*sum(w t); max: o + d*t_best.
             if spec.feat_max:
-                pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...])
-                                + _mm_f32x2(rays, wrefs["_SelV82"][...])
+                pts_ref[...] = (mmx2(rays, wrefs["_SelO82"][...])
+                                + mmx2(rays, wrefs["_SelV82"][...])
                                 * mx_scr[:, 1:2])
             else:
-                pts_ref[...] = (_mm_f32x2(rays, wrefs["_SelO82"][...]) * acc
-                                + _mm_f32x2(rays, wrefs["_SelV82"][...])
+                pts_ref[...] = (mmx2(rays, wrefs["_SelO82"][...]) * acc
+                                + mmx2(rays, wrefs["_SelV82"][...])
                                 * tw_scr[:, 0:1])
 
     def kernel(*refs):
@@ -982,6 +1037,7 @@ def prepare_ray_inputs(rays):
 def make_fused_hierarchical(renderer, interpret: bool = False,
                             ray_tile: int = 32, coarse_rgb: bool = False,
                             sample_blocks: int = 4,
+                            coarse_sample_blocks: int | None = None,
                             early_term_eps: float = 0.0,
                             trunk_int8: str = "none",
                             act_scales=None):
@@ -1067,8 +1123,17 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     # Coarse pass: only depth/weights feed the fine stage — skip the
     # composited feat/pts reductions and (by default) the rgb head chain.
     import dataclasses as _dc
+    # Per-stage block counts: the coarse stage (no head chain) measures
+    # fastest at 8 z-blocks with int8/early-term (scripts/stage_probe.py)
+    # while the fine stage stays best at 4.  Changing the coarse block
+    # count reorders its f32 log-transmittance partial sums, which
+    # perturbs the resampled z at silhouette edges — measured on the
+    # trained bench scene: mean |delta| ~1e-7, pointwise max ~8e-4 on
+    # weights (resample chaos, same class as blocked-vs-unblocked).
     coarse_spec = _dc.replace(spec, ret_feat=False, ret_rgb=coarse_rgb,
-                              trunk_int8=int8_c)
+                              trunk_int8=int8_c,
+                              sample_blocks=(coarse_sample_blocks
+                                             or sample_blocks))
     fused_coarse = make_fused_render(coarse_spec, interpret=interpret)
 
     assert renderer.dirs_emb_dim + app_dim <= spec.extra_dim

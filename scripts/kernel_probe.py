@@ -159,6 +159,27 @@ def make_stage(variant: str, ray_tile: int = 16):
             h = jax.nn.relu(
                 i8mm(hq, w[f"w{LAYERS - 1}q"][...]) * w["slast"][...]
                 + w[f"b{LAYERS - 1}"][...])
+        elif variant in ("ileave", "ileave_i8"):
+            # 2-way layer-interleave: split the tile's rows in half and
+            # alternate the two independent chains in program order, so
+            # chain A's bias+relu (VPU) can overlap chain B's dot (MXU)
+            # if Mosaic schedules across the chains.  Tests whether the
+            # per-layer epilogue bubbles (the 78% chain MFU) are hideable.
+            half = T // 2
+            xa, xc = xb[:half], xb[half:]
+
+            def layer(hh, xx, i):
+                acc = mm(hh, w[f"w{i}"][...])
+                if i == 4:
+                    acc = acc + mm(xx, w[f"w{i}s"][...])
+                return jax.nn.relu(acc + w[f"b{i}"][...])
+
+            ha = jax.nn.relu(mm(xa, w["w0"][...]) + w["b0"][...])
+            hb = jax.nn.relu(mm(xc, w["w0"][...]) + w["b0"][...])
+            for i in range(1, LAYERS):
+                ha = layer(ha, xa, i)
+                hb = layer(hb, xc, i)
+            h = jnp.concatenate([ha, hb], axis=0)
         else:
             h = mm(xb, w["w0"][...])
             if variant not in ("norelu", "mlponly"):
