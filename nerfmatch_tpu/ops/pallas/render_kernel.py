@@ -385,9 +385,24 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
 
     weight_names: list = []
 
-    # logt carry always; plus ONE feat accumulator: tw (lin compositing)
-    # or the max/t_best carry (feat_max) — they are mutually exclusive.
-    n_scratch = (2 if spec.ret_feat else 1) if SB > 1 else 0
+    # Blocked-path scratch: [0] logt carry (col 0 exact, col 1 the cheap
+    # early-term bound), [1] ONE feat accumulator when ret_feat: tw (lin)
+    # or the max/t_best carry (feat_max) — mutually exclusive; then the
+    # deferred-composite double buffers: sigma (cols 2*Sb), pre-sigmoid
+    # rgb_t (Tb, 16) when ret_rgb, feat_tap (Tb, 2*hid) when ret_feat.
+    if SB > 1:
+        assert 2 * Sb <= 128, f"deferred sigma buffer needs 2*Sb <= 128 ({Sb})"
+        _scratch_shapes = [("logt", (R, 128), jnp.float32)]
+        if spec.ret_feat:
+            _scratch_shapes.append(("twmx", (R, 128), jnp.float32))
+        _scratch_shapes.append(("sig", (R, 128), jnp.float32))
+        if spec.ret_rgb:
+            _scratch_shapes.append(("rgbt", (T // SB, 16), jnp.float32))
+        if spec.ret_feat:
+            _scratch_shapes.append(("feat", (T // SB, 2 * hid), jnp.float32))
+    else:
+        _scratch_shapes = []
+    n_scratch = len(_scratch_shapes)
 
     def blocked_body(wrefs, refs, rgb_ref, depth_ref, acc_ref, w_out_ref,
                      feat_ref, pts_ref, scratch_refs):
@@ -396,12 +411,15 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         of fully-saturated blocks is skipped under a data-dependent
         ``pl.when`` (their true weights are < eps; exact zeros are written).
         The out refs double as cross-block accumulators."""
-        logt_scr = scratch_refs[0]
-        tw_scr = scratch_refs[1] if (spec.ret_feat
-                                     and not spec.feat_max) else None
+        scr = dict(zip((nm for nm, _, _ in _scratch_shapes), scratch_refs))
+        logt_scr = scr["logt"]
+        tw_scr = scr["twmx"] if (spec.ret_feat
+                                 and not spec.feat_max) else None
         # feat_max carry: col 0 = running max weight, col 1 = its t_mean.
-        mx_scr = scratch_refs[1] if (spec.ret_feat and spec.feat_max) \
-            else None
+        mx_scr = scr["twmx"] if (spec.ret_feat and spec.feat_max) else None
+        sig_scr = scr["sig"]
+        rgbt_scr = scr.get("rgbt")
+        feat_scr = scr.get("feat")
 
         def rowmm(a, B):
             return jnp.dot(a, B, preferred_element_type=jnp.float32)
@@ -468,194 +486,249 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
         if feat_ref is not None:
             feat_ref[...] = jnp.zeros_like(feat_ref)
 
-        for j in range(SB):
-            def body(j=j):
-                z_b = z[:, j * Sb : (j + 1) * Sb + 1]     # (R, Sb+1)
-                t0, t1 = z_b[:, :-1], z_b[:, 1:]
-                mu = (t0 + t1) / 2.0
-                hw = (t1 - t0) / 2.0
-                den = jnp.maximum(_F32_EPS, 3.0 * mu**2 + hw**2)
-                t_mean = mu + (2.0 * mu * hw**2) / den    # (R, Sb)
+        # ---- tile-level cone moments (hoisted) ----
+        # Full-lane (R, S) math ONCE per tile instead of 4 latency-bound
+        # (R, Sb) passes: the t_mean/tv/rv chains are deep serial division
+        # chains whose per-block form stalled in-order issue (measured via
+        # spec.ablate: "moments" alone was worth ~2 ms/stage).
+        t0a, t1a = z[:, :-1], z[:, 1:]            # (R, S)
+        mu_a = (t0a + t1a) / 2.0
+        hw_a = (t1a - t0a) / 2.0
+        dists_a = t1a - t0a
+        den_a = jnp.maximum(_F32_EPS, 3.0 * mu_a**2 + hw_a**2)
+        t_mean_a = mu_a + (2.0 * mu_a * hw_a**2) / den_a
+        if "moments" not in abl:
+            tv_a = hw_a**2 / 3.0 - (4.0 / 15.0) * (
+                hw_a**4 * (12.0 * mu_a**2 - hw_a**2)) / den_a**2
+            rv_a = r2 * (mu_a**2 / 4.0 + (5.0 / 12.0) * hw_a**2
+                         - (4.0 / 15.0) * hw_a**4 / den_a)
 
-                # Cone moments at the cheap (R, Sb) layout (4 vregs/op vs
-                # 128 for anything (Tb, *)-shaped — see the _Mt mask
-                # comment), then ONE E-expand matmul + one masked
-                # lane-reduce per moment to reach the (Tb, 1) columns the
-                # IPE pre-activations broadcast over.  t_mean feeds the
-                # sin phase -> split-2 expansion (exact for one-hot E).
-                if "moments" in abl:   # diagnostic: constant moment cols
-                    t_col = dQ_T[:, :1] * 0.0 + 0.5
-                    tv_col = t_col * 0.02
-                    rv_col = t_col * 0.01
-                else:
-                    tv = hw**2 / 3.0 - (4.0 / 15.0) * (
-                        hw**4 * (12.0 * mu**2 - hw**2)) / den**2
-                    rv = r2 * (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
-                               - (4.0 / 15.0) * hw**4 / den)
-                    pack3 = jnp.concatenate([t_mean, tv, rv], axis=1)
-                    X3 = mmx2(E2, pack3, split_b=True)   # (Tb, 3*Sb)
-                    t_col = jnp.sum(X3 * wrefs["_Mt"][...], axis=-1,
-                                    keepdims=True)
-                    tv_col = jnp.sum(X3 * wrefs["_Mv"][...], axis=-1,
-                                     keepdims=True)
-                    rv_col = jnp.sum(X3 * wrefs["_Mr"][...], axis=-1,
-                                     keepdims=True)
+        # Deferred-composite software pipeline: block j's compositing
+        # (log/exp transmittance, weighted reductions — serial VPU chains)
+        # is emitted AFTER block j+1's encode/trunk in program order, so
+        # its latency hides behind the next block's MXU occupancy instead
+        # of stalling it (in-order issue).  work(j) parks sigma / rgb_t /
+        # feat_tap in double-buffered VMEM scratch (parity j%2); the
+        # early-termination check uses a cheap rigorous carry bound kept
+        # in logt_scr[:, 1] (see work()) so skip decisions stay as fresh
+        # as the sequential schedule's.
+        if spec.early_term_eps > 0:
+            # Per-sample upper bound on log(exp(-sd) + 1e-10):
+            #   -min(sd, C) >= true - 1e-10*e^C   with C = -log(eps)+0.1,
+            # so carry_quick >= carry_true - S*1e-10*e^C = carry_true - m.
+            # Skipping only when carry_quick < log(eps) - m then implies
+            # carry_true < log(eps): the <eps weight bound still holds.
+            _qc = float(-np.log(spec.early_term_eps) + 0.1)
+            _m = float(2 * S * 1e-10 * np.exp(_qc) + 1e-6)
+            _qthresh = float(np.log(spec.early_term_eps) - _m)
 
-                pre = oS_T + t_col * dS_T + wrefs["_phase"][...]
-                vs = tv_col * dQ_T + rv_col * nQ_T
-                if "ipe" in abl:       # diagnostic: no transcendentals
-                    xb_f = pre * vs
-                else:
-                    xb_f = _fast_exp(-0.5 * vs) * _fast_sin(pre)
-
-                if spec.trunk_int8:
-                    # int8 serving trunk (ops/pallas/quant.py): the whole
-                    # chain runs in the QUANTIZED domain — layer i's
-                    # epilogue is y = acc*c + B (ONE fused scale row:
-                    # dequant, relu threshold and the next layer's requant
-                    # all pre-folded, with +0.5 in B so the truncating
-                    # f32->int8 cast rounds to nearest), max(y, 0.5) IS
-                    # the relu, and clip(-127,127)+cast pattern-matches
-                    # Mosaic's saturating cast (an asymmetric 0 bound
-                    # measures 2x slower: 11.4 vs 5.7 ms/chain).  Real
-                    # units reappear only at the feat tap and final layer.
-                    def i8mm(a, b):
-                        return jnp.dot(a, b,
-                                       preferred_element_type=jnp.int32
-                                       ).astype(jnp.float32)
-
-                    def sat8(y):
-                        return jnp.clip(y, -127, 127).astype(jnp.int8)
-
-                    last = spec.layer_num - 1
-                    feat_tap = None
-                    xq = sat8(jnp.round(xb_f * wrefs["qenc"][...]))
-                    hq = None
-                    for i in range(spec.layer_num):
-                        acc_h = i8mm(xq if i == 0 else hq,
-                                     wrefs[f"w{i}q"][...])
-                        if i == last:
-                            h = acc_h * wrefs[f"s{i}"][...]
-                            if f"w{i}sq" in wrefs:
-                                h = h + (i8mm(xq, wrefs[f"w{i}sq"][...])
-                                         * wrefs[f"s{i}s"][...])
-                            h = jax.nn.relu(h + wrefs[f"b{i}"][...])
-                            if feat_tap is None:
-                                feat_tap = h
-                        elif "requant" in abl:  # diagnostic: no epilogue
-                            if i == spec.feat_layer and spec.ret_feat:
-                                feat_tap = acc_h
-                            hq = sat8(acc_h)
-                        else:
-                            y = acc_h * wrefs[f"c{i}"][...]
-                            if f"w{i}sq" in wrefs:
-                                y = y + (i8mm(xq, wrefs[f"w{i}sq"][...])
-                                         * wrefs[f"c{i}s"][...])
-                            y = jnp.maximum(y + wrefs[f"B{i}"][...], 0.5)
-                            if i == spec.feat_layer and spec.ret_feat:
-                                feat_tap = (y - 0.5) * wrefs[f"iq{i}"][...]
-                            hq = sat8(y)
-                else:
-                    xb = xb_f.astype(jnp.bfloat16)
-                    h = jax.nn.relu(mm(xb, wrefs["w0"][...])
-                                    + wrefs["b0"][...])
-                    feat_tap = h
-                    for i in range(1, spec.layer_num):
-                        acc_h = mm(h, wrefs[f"w{i}"][...])
-                        if f"w{i}s" in wrefs:
-                            acc_h = acc_h + mm(xb, wrefs[f"w{i}s"][...])
-                        h = jax.nn.relu(acc_h + wrefs[f"b{i}"][...])
-                        if i == spec.feat_layer:
-                            feat_tap = h
-
-                h3 = h.reshape(R, Sb, hid)
-                sigma_raw = jnp.sum(h3 * wrefs["wa"][...][None, None, :],
-                                    axis=-1) + wrefs["ba"][0, 0]   # (R, Sb)
-                if spec.ret_rgb:
-                    feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]
-                    hv = jax.nn.relu(
-                        mm(feature, wrefs["wvh"][...]).reshape(R, Sb, -1)
-                        + xt[:, None, :] + wrefs["bv"][...])
-                    rgb_t = (mm(hv.reshape(Tb, -1),
-                                wrefs["wrgb"][...])[:, :8]
-                             + wrefs["brgb"][...][:8])
-                    rgb = jax.nn.sigmoid(rgb_t).reshape(R, Sb, -1)
-
-                dists = t1 - t0
-                sigma = jax.nn.relu(sigma_raw)
-                alpha = 1.0 - jnp.exp(-sigma * dists)
-                if "logt" in abl:      # diagnostic: no transmittance chain
-                    log_t = alpha * -1e-3
-                    weights = alpha
-                else:
-                    log_t = jnp.log(1.0 - alpha + 1e-10)
-                    prev = logt_scr[:, 0:1]
-                    # Split-2: a DEFAULT bf16 pass truncates
-                    # log-transmittance sums (O(10) magnitudes) to ~4e-2
-                    # absolute -> 4% noise on every weight's exponent.
-                    csum = mmx2(log_t, wrefs["_tri2"][...]) + prev
-                    weights = alpha * jnp.exp(csum)       # (R, Sb)
-
-                if "wsum" in abl:      # diagnostic: liveness-only writes
-                    w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
-                    depth_ref[...] += weights[:, :1]
-                    acc_ref[...] += alpha[:, :1]
-                    if rgb_ref is not None:
-                        rgb_ref[...] += rgb[:, 0]
-                    if feat_ref is not None:
-                        feat_ref[...] += feat_tap.reshape(R, Sb, hid)[:, 0]
-                        if tw_scr is not None:
-                            tw_scr[...] = tw_scr[...] + weights[:, :1]
-                        if mx_scr is not None:
-                            mx_scr[:, 0:1] = weights[:, :1]
-                    logt_scr[...] = logt_scr[...] + log_t[:, :1]
-                    return
-
-                w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
-                depth_ref[...] += jnp.sum(weights * mu, axis=-1,
-                                          keepdims=True)
-                acc_ref[...] += jnp.sum(weights, axis=-1, keepdims=True)
-                if rgb_ref is not None:
-                    rgb_ref[...] += jnp.sum(weights[:, :, None] * rgb,
-                                            axis=1)
-                if feat_ref is not None:
-                    feat3 = feat_tap.reshape(R, Sb, hid)
-                    if spec.feat_max:
-                        # First-occurrence in-block argmax: exclusive
-                        # cumsum of the max mask via the 0/1 triangle
-                        # matmul (exact in one bf16 pass — integer counts).
-                        blk_max = jnp.max(weights, axis=-1, keepdims=True)
-                        mf = (weights == blk_max).astype(jnp.float32)
-                        seen = jnp.dot(mf, wrefs["_tri"][...],
-                                       preferred_element_type=jnp.float32)
-                        first = mf * (seen == 0.0)       # (R, Sb) one-hot
-                        feat_blk = jnp.sum(first[:, :, None] * feat3,
-                                           axis=1)
-                        t_blk = jnp.sum(first * t_mean, axis=-1,
-                                        keepdims=True)
-                        upd = blk_max > mx_scr[:, 0:1]
-                        feat_ref[...] = jnp.where(upd, feat_blk,
-                                                  feat_ref[...])
-                        mx_scr[:, 0:1] = jnp.where(upd, blk_max,
-                                                   mx_scr[:, 0:1])
-                        mx_scr[:, 1:2] = jnp.where(upd, t_blk,
-                                                   mx_scr[:, 1:2])
-                    else:
-                        feat_ref[...] += jnp.sum(weights[:, :, None] * feat3,
-                                                 axis=1)
-                        tw_scr[...] = tw_scr[...] + jnp.sum(
-                            weights * t_mean, axis=-1, keepdims=True)
-                logt_scr[...] = logt_scr[...] + jnp.sum(
-                    log_t, axis=-1, keepdims=True)
-
-            if j == 0 or spec.early_term_eps <= 0:
-                body()
+        def work(j):
+            bj = j % 2
+            sl = slice(j * Sb, (j + 1) * Sb)
+            # Per-block moment columns: one E-expand matmul + one masked
+            # lane-reduce per moment to reach the (Tb, 1) columns the IPE
+            # pre-activations broadcast over.  t_mean feeds the sin phase
+            # -> split-2 expansion (exact for one-hot E).
+            if "moments" in abl:   # diagnostic: constant moment cols
+                t_col = dQ_T[:, :1] * 0.0 + 0.5
+                tv_col = t_col * 0.02
+                rv_col = t_col * 0.01
             else:
-                w_out_ref[:, j * Sb : (j + 1) * Sb] = jnp.zeros(
+                pack3 = jnp.concatenate(
+                    [t_mean_a[:, sl], tv_a[:, sl], rv_a[:, sl]], axis=1)
+                X3 = mmx2(E2, pack3, split_b=True)   # (Tb, 3*Sb)
+                t_col = jnp.sum(X3 * wrefs["_Mt"][...], axis=-1,
+                                keepdims=True)
+                tv_col = jnp.sum(X3 * wrefs["_Mv"][...], axis=-1,
+                                 keepdims=True)
+                rv_col = jnp.sum(X3 * wrefs["_Mr"][...], axis=-1,
+                                 keepdims=True)
+
+            pre = oS_T + t_col * dS_T + wrefs["_phase"][...]
+            vs = tv_col * dQ_T + rv_col * nQ_T
+            if "ipe" in abl:       # diagnostic: no transcendentals
+                xb_f = pre * vs
+            else:
+                xb_f = _fast_exp(-0.5 * vs) * _fast_sin(pre)
+
+            if spec.trunk_int8:
+                # int8 serving trunk (ops/pallas/quant.py): the whole
+                # chain runs in the QUANTIZED domain — layer i's
+                # epilogue is y = acc*c + B (ONE fused scale row:
+                # dequant, relu threshold and the next layer's requant
+                # all pre-folded, with +0.5 in B so the truncating
+                # f32->int8 cast rounds to nearest), max(y, 0.5) IS
+                # the relu, and clip(-127,127)+cast pattern-matches
+                # Mosaic's saturating cast (an asymmetric 0 bound
+                # measures 2x slower: 11.4 vs 5.7 ms/chain).  Real
+                # units reappear only at the feat tap and final layer.
+                def i8mm(a, b):
+                    return jnp.dot(a, b,
+                                   preferred_element_type=jnp.int32
+                                   ).astype(jnp.float32)
+
+                def sat8(y):
+                    return jnp.clip(y, -127, 127).astype(jnp.int8)
+
+                last = spec.layer_num - 1
+                feat_tap = None
+                xq = sat8(jnp.round(xb_f * wrefs["qenc"][...]))
+                hq = None
+                for i in range(spec.layer_num):
+                    acc_h = i8mm(xq if i == 0 else hq,
+                                 wrefs[f"w{i}q"][...])
+                    if i == last:
+                        h = acc_h * wrefs[f"s{i}"][...]
+                        if f"w{i}sq" in wrefs:
+                            h = h + (i8mm(xq, wrefs[f"w{i}sq"][...])
+                                     * wrefs[f"s{i}s"][...])
+                        h = jax.nn.relu(h + wrefs[f"b{i}"][...])
+                        if feat_tap is None:
+                            feat_tap = h
+                    elif "requant" in abl:  # diagnostic: no epilogue
+                        if i == spec.feat_layer and spec.ret_feat:
+                            feat_tap = acc_h
+                        hq = sat8(acc_h)
+                    else:
+                        y = acc_h * wrefs[f"c{i}"][...]
+                        if f"w{i}sq" in wrefs:
+                            y = y + (i8mm(xq, wrefs[f"w{i}sq"][...])
+                                     * wrefs[f"c{i}s"][...])
+                        y = jnp.maximum(y + wrefs[f"B{i}"][...], 0.5)
+                        if i == spec.feat_layer and spec.ret_feat:
+                            feat_tap = (y - 0.5) * wrefs[f"iq{i}"][...]
+                        hq = sat8(y)
+            else:
+                xb = xb_f.astype(jnp.bfloat16)
+                h = jax.nn.relu(mm(xb, wrefs["w0"][...])
+                                + wrefs["b0"][...])
+                feat_tap = h
+                for i in range(1, spec.layer_num):
+                    acc_h = mm(h, wrefs[f"w{i}"][...])
+                    if f"w{i}s" in wrefs:
+                        acc_h = acc_h + mm(xb, wrefs[f"w{i}s"][...])
+                    h = jax.nn.relu(acc_h + wrefs[f"b{i}"][...])
+                    if i == spec.feat_layer:
+                        feat_tap = h
+
+            h3 = h.reshape(R, Sb, hid)
+            sigma_raw = jnp.sum(h3 * wrefs["wa"][...][None, None, :],
+                                axis=-1) + wrefs["ba"][0, 0]   # (R, Sb)
+            sig_scr[:, bj * Sb : (bj + 1) * Sb] = sigma_raw
+            if spec.ret_rgb:
+                feature = mm(h, wrefs["wf"][...]) + wrefs["bf"][...]
+                hv = jax.nn.relu(
+                    mm(feature, wrefs["wvh"][...]).reshape(R, Sb, -1)
+                    + xt[:, None, :] + wrefs["bv"][...])
+                rgb_t = (mm(hv.reshape(Tb, -1),
+                            wrefs["wrgb"][...])[:, :8]
+                         + wrefs["brgb"][...][:8])
+                rgbt_scr[:, bj * 8 : (bj + 1) * 8] = rgb_t
+            if feat_scr is not None:
+                feat_scr[:, bj * hid : (bj + 1) * hid] = feat_tap
+            if spec.early_term_eps > 0:
+                sd = jax.nn.relu(sigma_raw) * dists_a[:, sl]
+                logt_scr[:, 1:2] = logt_scr[:, 1:2] + jnp.sum(
+                    -jnp.minimum(sd, _qc), axis=-1, keepdims=True)
+
+        def composite(j):
+            bj = j % 2
+            sl = slice(j * Sb, (j + 1) * Sb)
+            sigma_raw = sig_scr[:, bj * Sb : (bj + 1) * Sb]
+            mu = mu_a[:, sl]
+            t_mean = t_mean_a[:, sl]
+            if spec.ret_rgb:
+                rgb = jax.nn.sigmoid(
+                    rgbt_scr[:, bj * 8 : (bj + 1) * 8]).reshape(R, Sb, -1)
+            if feat_scr is not None:
+                feat_tap = feat_scr[:, bj * hid : (bj + 1) * hid]
+
+            sigma = jax.nn.relu(sigma_raw)
+            alpha = 1.0 - jnp.exp(-sigma * dists_a[:, sl])
+            if "logt" in abl:      # diagnostic: no transmittance chain
+                log_t = alpha * -1e-3
+                weights = alpha
+            else:
+                log_t = jnp.log(1.0 - alpha + 1e-10)
+                prev = logt_scr[:, 0:1]
+                # Split-2: a DEFAULT bf16 pass truncates
+                # log-transmittance sums (O(10) magnitudes) to ~4e-2
+                # absolute -> 4% noise on every weight's exponent.
+                csum = mmx2(log_t, wrefs["_tri2"][...]) + prev
+                weights = alpha * jnp.exp(csum)       # (R, Sb)
+
+            if "wsum" in abl:      # diagnostic: liveness-only writes
+                w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
+                depth_ref[...] += weights[:, :1]
+                acc_ref[...] += alpha[:, :1]
+                if rgb_ref is not None:
+                    rgb_ref[...] += rgb[:, 0]
+                if feat_ref is not None:
+                    feat_ref[...] += feat_tap.reshape(R, Sb, hid)[:, 0]
+                    if tw_scr is not None:
+                        tw_scr[...] = tw_scr[...] + weights[:, :1]
+                    if mx_scr is not None:
+                        mx_scr[:, 0:1] = weights[:, :1]
+                logt_scr[:, 0:1] = logt_scr[:, 0:1] + log_t[:, :1]
+                return
+
+            w_out_ref[:, j * Sb : (j + 1) * Sb] = weights
+            depth_ref[...] += jnp.sum(weights * mu, axis=-1,
+                                      keepdims=True)
+            acc_ref[...] += jnp.sum(weights, axis=-1, keepdims=True)
+            if rgb_ref is not None:
+                rgb_ref[...] += jnp.sum(weights[:, :, None] * rgb,
+                                        axis=1)
+            if feat_ref is not None:
+                feat3 = feat_tap.reshape(R, Sb, hid)
+                if spec.feat_max:
+                    # First-occurrence in-block argmax: exclusive
+                    # cumsum of the max mask via the 0/1 triangle
+                    # matmul (exact in one bf16 pass — integer counts).
+                    blk_max = jnp.max(weights, axis=-1, keepdims=True)
+                    mf = (weights == blk_max).astype(jnp.float32)
+                    seen = jnp.dot(mf, wrefs["_tri"][...],
+                                   preferred_element_type=jnp.float32)
+                    first = mf * (seen == 0.0)       # (R, Sb) one-hot
+                    feat_blk = jnp.sum(first[:, :, None] * feat3,
+                                       axis=1)
+                    t_blk = jnp.sum(first * t_mean, axis=-1,
+                                    keepdims=True)
+                    upd = blk_max > mx_scr[:, 0:1]
+                    feat_ref[...] = jnp.where(upd, feat_blk,
+                                              feat_ref[...])
+                    mx_scr[:, 0:1] = jnp.where(upd, blk_max,
+                                               mx_scr[:, 0:1])
+                    mx_scr[:, 1:2] = jnp.where(upd, t_blk,
+                                               mx_scr[:, 1:2])
+                else:
+                    feat_ref[...] += jnp.sum(weights[:, :, None] * feat3,
+                                             axis=1)
+                    tw_scr[...] = tw_scr[...] + jnp.sum(
+                        weights * t_mean, axis=-1, keepdims=True)
+            logt_scr[:, 0:1] = logt_scr[:, 0:1] + jnp.sum(
+                log_t, axis=-1, keepdims=True)
+
+        for j in range(SB):
+            # Blocks 0 AND 1 always run: that writes BOTH parity buffers
+            # before any skip is possible, so a skipped block's deferred
+            # composite always reads finite (earlier-block) values that
+            # its exact-zero weights then cancel — never uninitialized
+            # scratch (0 * uninit would be NaN).
+            if j <= 1 or spec.early_term_eps <= 0:
+                work(j)
+            else:
+                # Stale-proof a potential skip: zeroed sigma makes the
+                # (always-run) deferred composite produce EXACT zero
+                # alpha/weights for this block, so parked rgb/feat
+                # garbage contributes nothing and w_out gets exact 0s.
+                sig_scr[:, (j % 2) * Sb : (j % 2 + 1) * Sb] = jnp.zeros(
                     (R, Sb), jnp.float32)
-                alive = (jnp.max(logt_scr[:, 0])
-                         > float(np.log(spec.early_term_eps)))
-                pl.when(alive)(body)
+                alive = jnp.max(logt_scr[:, 1]) > _qthresh
+                pl.when(alive)(lambda j=j: work(j))
+            if j > 0:
+                composite(j - 1)
+        composite(SB - 1)
 
         acc = acc_ref[...]
         if rgb_ref is not None and spec.white_bg:
@@ -922,8 +995,8 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                 jax.ShapeDtypeStruct((N, hid), jnp.float32),
                 jax.ShapeDtypeStruct((N, 8), jnp.float32),
             ]
-        scratch_shapes = [pltpu.VMEM((R, 128), jnp.float32)
-                          for _ in range(n_scratch)]
+        scratch_shapes = [pltpu.VMEM(shape, dt)
+                          for _, shape, dt in _scratch_shapes]
         outs = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
