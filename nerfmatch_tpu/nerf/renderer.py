@@ -73,6 +73,22 @@ class RenderConfig:
                                          # caching); costs ~3-11% on soft or
                                          # transparent scenes -> set 0 there.
                                          # Training is unaffected.
+    trunk_int8: str = "none"             # fused EVAL path serving mode:
+                                         # "coarse" / "both" run the named
+                                         # stages' MLP trunks as int8 MXU
+                                         # dots with static per-scene
+                                         # activation scales (2x MACs/cycle;
+                                         # ops/pallas/quant.py).  Needs one
+                                         # calibration pass per scene —
+                                         # predict()/render_novel_views()
+                                         # calibrate lazily from their first
+                                         # ray batch.  Output deltas vs f32:
+                                         # coarse-only ~1.2e-3 mean rgb
+                                         # (resample jitter only), both
+                                         # ~3.4e-3 — gate quality end-to-end
+                                         # before serving with it
+                                         # (scripts/int8_e2e_gate.py).
+                                         # Training is unaffected.
 
     @classmethod
     def from_config(cls, config):
@@ -98,6 +114,7 @@ class RenderConfig:
             num_out_ch=3 if getattr(data, "out_scr", False) else 0,
             compute_dtype=getattr(render, "compute_dtype", "float32"),
             early_term_eps=getattr(render, "early_term_eps", 1e-4),
+            trunk_int8=getattr(render, "trunk_int8", "none"),
         )
 
 
@@ -141,6 +158,7 @@ class NerfRenderer:
             self.fine_cfg = NerfConfig.from_namespace(
                 fine_ns, stop_layer=stop_layer, **common)
         self.num_frames = num_frames
+        self.act_scales = None  # per-scene int8 scales (calibrate_int8)
 
     # ------------------------------------------------------------------
     # Params
@@ -348,6 +366,40 @@ class NerfRenderer:
                 # silently rendered at 128.
                 and coarse_pts == 128)
 
+    def calibrate_int8(self, params, rays):
+        """Calibrate per-scene int8 activation scales for the fused eval
+        path (``cfg.trunk_int8`` in {"coarse", "both"}) and invalidate the
+        cached fused programs so they rebuild with the quantized trunks.
+        ``rays``: a representative (N, 12) packed ray batch of the scene.
+        Called lazily by ``predict``/``render_novel_views`` with their
+        first batch; call explicitly to control the calibration set."""
+        from ..ops.pallas.quant import calibrate_act_scales
+
+        self.act_scales = calibrate_act_scales(self, params, rays)
+        for cached in ("_fused_eval", "_fused_eval_scan"):
+            self.__dict__.pop(cached, None)
+        return self.act_scales
+
+    def _ensure_int8_calibrated(self, params, rays):
+        mode = getattr(self.cfg, "trunk_int8", "none")
+        if mode != "none" and getattr(self, "act_scales", None) is None:
+            n = min(1024, rays.shape[0])
+            self.calibrate_int8(params, np.asarray(rays[:n]))
+
+    def _fused_factory_kwargs(self):
+        mode = getattr(self.cfg, "trunk_int8", "none")
+        if mode != "none" and getattr(self, "act_scales", None) is None:
+            raise RuntimeError(
+                f"render.trunk_int8={mode!r} requires per-scene activation "
+                "scales: call renderer.calibrate_int8(params, rays) before "
+                "the fused eval path (predict/render_novel_views do this "
+                "lazily with their first ray batch)")
+        return dict(
+            interpret=getattr(self, "fused_interpret", False),
+            early_term_eps=self.cfg.early_term_eps,
+            trunk_int8=mode,
+            act_scales=getattr(self, "act_scales", None))
+
     @functools.cached_property
     def _fused_eval(self):
         """One jitted call per chunk: weight packing and the appearance
@@ -357,8 +409,7 @@ class NerfRenderer:
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
         render, pack = make_fused_hierarchical(
-            self, interpret=getattr(self, "fused_interpret", False),
-            early_term_eps=self.cfg.early_term_eps)
+            self, **self._fused_factory_kwargs())
         if self.cfg.appearance_embedding:
             def call(params, rays, rid):
                 wc, wf = pack(params)
@@ -381,8 +432,7 @@ class NerfRenderer:
         from ..ops.pallas.render_kernel import make_fused_hierarchical
 
         render, pack = make_fused_hierarchical(
-            self, interpret=getattr(self, "fused_interpret", False),
-            early_term_eps=self.cfg.early_term_eps)
+            self, **self._fused_factory_kwargs())
         if self.cfg.appearance_embedding:
             def call(params, rays3, rid2):
                 wc, wf = pack(params)
@@ -414,6 +464,7 @@ class NerfRenderer:
         batch size."""
         if rays.shape[0] == 0:
             raise ValueError("fused_predict: empty ray batch")
+        self._ensure_int8_calibrated(params, rays)
         fn = self._fused_eval
         rid_np = None
         if self.cfg.appearance_embedding:
@@ -566,6 +617,7 @@ class NerfRenderer:
         rays_p = np.stack([
             np.concatenate([r, np.broadcast_to(r[-1:], (n_pad, r.shape[-1]))])
             if n_pad else r for r in rays])
+        self._ensure_int8_calibrated(params, rays_p[0])
         if self.cfg.appearance_embedding:
             rid = jnp.ones((B, rays_p.shape[1]), jnp.int32)
             out = self._fused_eval_scan(params, jnp.asarray(rays_p), rid)

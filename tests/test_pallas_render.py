@@ -662,3 +662,52 @@ def test_fused_hierarchical_int8_trunk():
     d_rgb_c = np.abs(np.asarray(out_c["rgb_fine"])
                      - np.asarray(ref["rgb_fine"]))
     assert d_rgb_c.mean() <= d_rgb.mean() + 1e-3
+
+
+def test_renderer_int8_serving_mode():
+    """cfg render.trunk_int8 routes predict() through the quantized fused
+    path with LAZY per-scene calibration (renderer.calibrate_int8), and a
+    missing calibration fails loudly on the direct program accessor."""
+    from nerfmatch_tpu.config import dict2namespace
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+
+    base = {
+        "data": {"img_wh": [64, 64]},
+        "render": {"chunksize": 4096, "use_viewdirs": True, "use_disp": False,
+                   "perturb": False, "white_bg": False, "noise_std": 0.0},
+        "embedding": {"xyz_num_freqs": 15, "dirs_num_freqs": 4, "type": "mip"},
+        "coarse_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                        "output_dim": 4, "skips": [4], "num_pts": 128},
+        "fine_nerf": {"method": "NeRF", "layer_num": 8, "hid_dim": 256,
+                      "output_dim": 4, "skips": [4], "num_pts": 128},
+        "loss": {},
+    }
+    import copy
+    cfg8 = copy.deepcopy(base)
+    cfg8["render"]["trunk_int8"] = "both"
+    r_f32 = NerfRenderer(dict2namespace(base), stop_layer=3)
+    r_i8 = NerfRenderer(dict2namespace(cfg8), stop_layer=3)
+    r_f32.fused_interpret = r_i8.fused_interpret = True
+    params = r_f32.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(12)
+    o = rng.uniform(-0.2, 0.2, (128, 3))
+    d = rng.normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((128, 1), 0.05), np.full((128, 1), 1.4), d,
+         np.full((128, 1), 0.002)], -1).astype(np.float32)
+
+    # Uncalibrated direct program access fails loudly.
+    with pytest.raises(RuntimeError, match="calibrate_int8"):
+        r_i8._fused_eval  # noqa: B018
+
+    ref = r_f32.predict(params, jnp.asarray(rays), ret_pfeat=True)
+    out = r_i8.predict(params, jnp.asarray(rays), ret_pfeat=True)
+    assert r_i8.act_scales is not None  # lazy calibration happened
+    d_rgb = np.abs(out["rgb_fine"] - ref["rgb_fine"])
+    assert d_rgb.mean() < 1e-2 and d_rgb.max() < 8e-2, \
+        (d_rgb.mean(), d_rgb.max())
+    f_rel = (np.abs(out["feat_fine"] - ref["feat_fine"]).max()
+             / (np.abs(ref["feat_fine"]).max() + 1e-9))
+    assert f_rel < 0.15, f_rel
