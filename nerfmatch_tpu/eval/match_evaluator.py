@@ -266,6 +266,7 @@ class NeRFMatchEvaluator:
         res = dict(R_err=[float("inf")] * B, t_err=[float("inf")] * B,
                    num_matches=[0] * B, iter_t_errs=[], iter_R_errs=[])
         for itr in range(iters):
+            dead = set()  # queries whose points were dropped this iter
             if itr > 0:
                 # Batched re-render at the current estimates (only queries
                 # whose PnP succeeded; the rest keep their scene points).
@@ -280,8 +281,12 @@ class NeRFMatchEvaluator:
                         [un[b] for b in live], downsample=8)
                     n_new = outs["pt3d"].shape[1]
                     if n_new != pt3d.shape[1]:
-                        # Re-render changes the point budget: dead (PnP-
-                        # failed) queries get zero points + zero mask.
+                        # Re-render changes the point budget: the cached
+                        # points of dead (PnP-failed) queries no longer fit
+                        # the arrays — keep their iter-0 results instead of
+                        # re-solving on zeros (matches the per-query path,
+                        # which skips the re-render when c2w_est is None).
+                        dead = set(range(B)) - set(live)
                         pt3d = np.zeros((B, n_new, 3), np.float32)
                         pt_feat = np.zeros(
                             (B, n_new, outs["pt_feat"].shape[-1]), np.float32)
@@ -294,6 +299,7 @@ class NeRFMatchEvaluator:
                         pt3d[b] = outs["pt3d"][j]
                         pt_feat[b] = outs["pt_feat"][j]
                         pt_mask[b] = 1.0
+            t_match = time.perf_counter()
             out = self.model.eval_match(
                 self.params, jnp.asarray(batch["image"]),
                 jnp.asarray(pt_feat), jnp.asarray(pt3d),
@@ -302,10 +308,13 @@ class NeRFMatchEvaluator:
                 mutual=mutual, match_thres=match_thres,
                 top_k=self.max_matches)
             lists = jax.device_get(out["lists"])
-            if itr == 0:
-                self.timer["match_time"].extend(
-                    [(time.perf_counter() - ts) / B] * B)
+            # One match_time entry per query per iteration, mirroring the
+            # per-query path (eval_match_pose records one per call).
+            self.timer["match_time"].extend(
+                [(time.perf_counter() - t_match) / B] * B)
             for b in range(B):
+                if b in dead:
+                    continue  # keep iter-0 R_err/t_err/num_matches
                 mpt2d, mpt3d = self._item_matches(out, lists, pt2d_all,
                                                   pt3d, b)
                 c2w_est, r_err, t_err, n = self._solve_pose(

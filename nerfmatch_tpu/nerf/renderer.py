@@ -625,7 +625,10 @@ class NerfRenderer:
             out = self._fused_eval_scan(params, jnp.asarray(rays_p))
         pts = np.asarray(out["pts_fine"])[:, :n]
         feat = np.asarray(out["feat_fine"])[:, :n]
-        rgb = np.asarray(out["rgb_fine"])[:, :n]
+        # Same shape contract as the per-pose fallback, whose predict(w, h)
+        # reshapes rgb to images: (B, H/ds, W/ds, 3).
+        rgb = np.asarray(out["rgb_fine"])[:, :n].reshape(
+            B, H // downsample, W // downsample, -1)
         pt3d = np.stack([
             np.asarray(unnormalize_pts(
                 jnp.asarray(pts[b])[None],

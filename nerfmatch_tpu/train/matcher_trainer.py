@@ -583,7 +583,9 @@ def _load_timm_state(ckpt):
             return {k: z[k] for k in z.files}
     import torch
 
-    state = torch.load(ckpt, map_location="cpu", weights_only=False)
+    # weights_only=True: a raw timm state dict is plain tensors; never
+    # unpickle arbitrary code from an externally downloaded .pth.
+    state = torch.load(ckpt, map_location="cpu", weights_only=True)
     for key in ("state_dict", "model"):  # hub wrappers
         if isinstance(state, dict) and key in state \
                 and isinstance(state[key], dict):
