@@ -100,6 +100,9 @@ import jax
 import jax.numpy as jnp
 
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
 from __graft_entry__ import _example_rays, _nerf_config
 

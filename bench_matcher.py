@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from nerfmatch_tpu.models.matcher_c2f import C2FMatcherConfig, NeRFMatcherMS
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 
 REF_PAIRS_PER_SEC = 10.0  # reference "Avg match time" scale on V100 (~100ms)
 

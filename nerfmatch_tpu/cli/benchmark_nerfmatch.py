@@ -170,21 +170,31 @@ def build_parser():
     p.add_argument("--retrieval_only", action="store_true")
     p.add_argument("--match_oracle", action="store_true")
     p.add_argument("--point_shard", action="store_true",
-                   help="Shard the point axis of coarse matching over the "
-                        "device mesh (merged multi-pair point clouds).")
+                   help="Shard matching over the device mesh (merged "
+                        "multi-pair point clouds): the coarse dual-softmax "
+                        "splits over the POINT axis and, for c2f models, "
+                        "the fine subpixel stage splits over the MATCH "
+                        "axis (parallel/point_sharding.py; results equal "
+                        "the dense path).")
     p.add_argument("--pair_shard", action="store_true",
                    help="Shard the pair axis of multi-pair matching over "
                         "the device mesh (separate top-k pairs).")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--eval_bs", type=int, default=1,
-                   help="queries per matcher dispatch (single-shot "
-                        "cached-pt protocol only; results identical)")
+                   help="queries per matcher/render dispatch (single-shot "
+                        "AND --iters protocols; results identical). "
+                        "--inerf/--match_oracle/--retrieval_only/"
+                        "--visualize runs fall back to per-query bs=1, so "
+                        "their localize_time stays a per-query number.")
     p.add_argument("--seeds", type=int, nargs="*", default=[])
     p.add_argument("--feats", type=str, nargs="*", default=[])
     return p
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA compile cache
     args = build_parser().parse_args(argv)
     benchmark(args)
 

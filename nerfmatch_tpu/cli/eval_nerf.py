@@ -53,6 +53,9 @@ def run_one(args):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA compile cache
     args = build_parser().parse_args(argv)
     if not args.dataset:
         return run_one(args)

@@ -28,6 +28,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA compile cache
     from ..parallel.distributed import maybe_initialize_distributed
 
     maybe_initialize_distributed()  # multi-host mesh (no-op single-process)

@@ -102,6 +102,9 @@ def apply_update_conf(config, args):
 
 
 def main(argv=None, stage=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA compile cache
     from ..parallel.distributed import maybe_initialize_distributed
 
     maybe_initialize_distributed()  # multi-host mesh (no-op single-process)

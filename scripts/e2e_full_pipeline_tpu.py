@@ -36,6 +36,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from PIL import Image
 
 from nerfmatch_tpu.config import dict2namespace
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+# Compiles dominate this pipeline's wall-clock on the 1-core host (the
+# fused train step alone is ~15 min cold); the persistent cache makes
+# reruns and the sibling gate/ladder scripts start warm.
+enable_compile_cache()
 
 W = H = 128
 DS = 8

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 from nerfmatch_tpu.ops.pallas.render_kernel import (
     FusedRenderSpec, make_fused_render)
 from nerfmatch_tpu.ops.pallas.resample_kernel import resample_z_pallas

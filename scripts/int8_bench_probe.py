@@ -17,6 +17,9 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 from nerfmatch_tpu.ops.pallas.render_kernel import make_fused_hierarchical
 from nerfmatch_tpu.ops.pallas.quant import calibrate_act_scales
 from __graft_entry__ import _nerf_config

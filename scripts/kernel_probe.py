@@ -28,6 +28,9 @@ sys.path.insert(0, "/root/repo")
 
 from nerfmatch_tpu.ops.pallas.render_kernel import (  # noqa: E402
     FusedRenderSpec, make_spread_matrices, _pad_axis)
+from nerfmatch_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 
 S = 128
 HID = 256

@@ -47,6 +47,9 @@ from nerfmatch_tpu.ops.matching import (  # noqa: E402
 from nerfmatch_tpu.train.matcher_trainer import coarse_losses  # noqa: E402
 from nerfmatch_tpu.utils.metrics import (  # noqa: E402
     compute_fine_match_loss_l2_std)
+from nerfmatch_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
 
 H = W = 480
 N = 3600

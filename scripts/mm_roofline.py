@@ -18,6 +18,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
+
 M_TOT = 1179648  # 9216 rays x 128 samples
 HID = 256
 LAYERS = 8

@@ -42,6 +42,10 @@ from nerfmatch_tpu.ops.pallas.resample_kernel import (  # noqa: E402
 from __graft_entry__ import _nerf_config  # noqa: E402
 from scripts.train_bench_scene import camera_rays, load_params  # noqa: E402
 
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
+
 BATCH = 9216
 ITERS = 30
 

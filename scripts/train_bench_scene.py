@@ -36,6 +36,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from nerfmatch_tpu.nerf.renderer import NerfRenderer
 from __graft_entry__ import _nerf_config
 
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
+
 BALL_R = 0.3
 SHELL_R = 1.2
 CAM_R = 0.8

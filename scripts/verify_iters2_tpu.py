@@ -31,6 +31,10 @@ import jax  # noqa: E402
 from nerfmatch_tpu.nerf.renderer import NerfRenderer  # noqa: E402
 from __graft_entry__ import _nerf_config  # noqa: E402
 
+from nerfmatch_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent XLA cache: reruns start warm
+
 
 def check_novel_views_bitparity(renderer, params):
     from tests._synthetic import look_at

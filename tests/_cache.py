@@ -1,29 +1,20 @@
-"""Per-host-keyed persistent XLA compilation cache (shared helper).
+"""Per-host-keyed persistent XLA compilation cache (test-side shim).
 
-XLA:CPU AOT entries embed the compile machine's CPU features; loading them
-on a different host spews feature-mismatch errors and risks SIGILL.  A
-digest of the host's CPU flags isolates each machine's entries.  Used by
-tests/conftest.py and tests/multihost_worker.py — keep ONE copy of the
-fingerprint scheme so the cache never splits between them.
+The real implementation moved to ``nerfmatch_tpu.utils.cache`` so CLIs
+and scripts share the exact fingerprint scheme (the cache must never
+split between tests and production entry points).  This shim keeps the
+old import path for conftest.py / multihost_worker.py, which run before
+sys.path gains the repo root in some launch modes.
 """
 
-import hashlib
 import pathlib
-import platform
+import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-def host_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = platform.processor()
-    return hashlib.sha256(
-        (platform.machine() + flags).encode()).hexdigest()[:12]
+from nerfmatch_tpu.utils.cache import (  # noqa: E402,F401
+    enable_compile_cache, host_fingerprint)
 
 
 def setup_compilation_cache(jax) -> None:
-    cache = (pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-             / host_fingerprint())
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    enable_compile_cache(jax)
