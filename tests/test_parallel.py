@@ -343,6 +343,60 @@ def test_point_sharded_ms_eval_match_equals_dense():
                               np.asarray(ref["lists"][k])[lv]), k
 
 
+def test_point_sharded_ms_eval_match_production_geometry():
+    """Same sharded-vs-dense equality at the PRODUCTION token geometry:
+    a 480x480 image -> M=3600 coarse tokens (model_ds 8, the reference
+    eval grid), N=36000 points (pair_topk=10 merged Cambridge retrieval
+    cloud), win_sz=5, top_k=2048 match lists — the shapes
+    `--point_shard` serves (fine stage 3600 -> 450 matches/device).
+    Feature widths are reduced (the sharding logic — splits, collectives,
+    gather indices — depends on M/N/win/top_k, not channel width);
+    production-dim equality is covered by
+    scripts/fine_shard_production_probe.py (cfeat/pt 256, same asserts)."""
+    from nerfmatch_tpu.models.matcher_c2f import (
+        C2FMatcherConfig, NeRFMatcherMS)
+
+    cfg = C2FMatcherConfig(
+        backbone="tiny", pretrained=False, cfeat_dim=32, pt_dim=16,
+        ffeat_dim=16, im_pe=True, im_sa=1, im_sa_type="share", pt_sa=0,
+        pt_sa_type="full", pt_pe=True, coarse_layers=1, fine_sa=1,
+        fsa_type="full", win_sz=5, cat_c_feat=True,
+        fused_attention_train=False)
+    model = NeRFMatcherMS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(11)
+    bs, hw, topk_pairs = 1, 480, 10
+    m = (hw // 8) ** 2
+    n = m * topk_pairs
+    img = jnp.asarray(rng.uniform(0, 1, (bs, hw, hw, 3)), jnp.float32)
+    pt_feat = jnp.asarray(rng.normal(size=(bs, n, 16)), jnp.float32)
+    pt3d = jnp.asarray(rng.normal(size=(bs, n, 3)), jnp.float32)
+    im_mask = jnp.asarray(rng.uniform(size=(bs, m)) > 0.05, jnp.float32)
+    pt_mask = jnp.asarray(rng.uniform(size=(bs, n)) > 0.05, jnp.float32)
+    kw = dict(im_mask=im_mask, pt_mask=pt_mask, mutual=True, top_k=2048)
+
+    ref = model.eval_match(params, img, pt_feat, pt3d, **kw)
+    mesh = make_mesh(data=8)
+    got = model.eval_match_point_sharded(params, mesh, img, pt_feat, pt3d,
+                                         **kw)
+
+    v = np.asarray(ref["valid"])
+    assert v.sum() > 100  # the geometry must produce a real match set
+    assert np.array_equal(np.asarray(got["valid"]), v)
+    assert np.array_equal(np.asarray(got["j_ids"])[v],
+                          np.asarray(ref["j_ids"])[v])
+    assert np.allclose(np.asarray(got["mconf"]), np.asarray(ref["mconf"]),
+                       atol=1e-6)
+    e_ref = np.asarray(ref["expec_f"]).reshape(bs, m, 3)
+    e_got = np.asarray(got["expec_f"]).reshape(bs, m, 3)
+    assert np.allclose(e_got[v], e_ref[v], atol=1e-5)
+    lv = np.asarray(ref["lists"]["valid"])
+    for k in ("i_ids", "j_ids", "valid"):
+        assert np.array_equal(np.asarray(got["lists"][k])[lv],
+                              np.asarray(ref["lists"][k])[lv]), k
+
+
 def test_pair_sharded_multi_pair_equals_lax_map():
     """forward_multi_pair with pair_mesh == the lax.map path, including the
     fine expec_f, with K=5 pairs padded onto the 8-device mesh."""
