@@ -166,8 +166,24 @@ def main():
             for k in range(scan_g)])
         assert rays.shape[1] == batch
 
-    def build_step(eps):
-        render, pack = make_fused_hierarchical(renderer, early_term_eps=eps)
+    # The serving int8 mode (gate-approved default; "none" until the e2e
+    # quality gate passes — see PARITY "int8 serving mode").  The headline
+    # measures the mode production cache-serving runs with; the f32/bf16
+    # path is printed as a comment when int8 is the default.
+    from nerfmatch_tpu.nerf.renderer import SERVING_INT8_DEFAULT
+
+    act_scales = None
+    if SERVING_INT8_DEFAULT != "none":
+        from nerfmatch_tpu.ops.pallas.quant import calibrate_act_scales
+
+        act_scales = calibrate_act_scales(
+            renderer, params, np.asarray(rays[0][:1024]))
+
+    def build_step(eps, int8=SERVING_INT8_DEFAULT):
+        kw = ({} if int8 == "none"
+              else dict(trunk_int8=int8, act_scales=act_scales))
+        render, pack = make_fused_hierarchical(renderer, early_term_eps=eps,
+                                               **kw)
         wc, wf = pack(params)
 
         @jax.jit
@@ -194,7 +210,8 @@ def main():
         return batch / best
 
     # Production default: the renderer's own eval path (early termination
-    # quality-gated end-to-end, scripts/earlyterm_e2e_gate.py).
+    # and the int8 serving mode both quality-gated end-to-end,
+    # scripts/earlyterm_e2e_gate.py + scripts/int8_e2e_gate.py).
     eps = renderer.cfg.early_term_eps
     rays_per_sec = measure(build_step(eps))
     # Context: the no-early-termination path (soft/transparent scenes).
@@ -202,6 +219,11 @@ def main():
     if rps_eps0:
         print(f"# eps=0 (no early termination): {rps_eps0:,.0f} rays/s; "
               f"default path (eps={eps:g}): {rays_per_sec:,.0f}")
+    if SERVING_INT8_DEFAULT != "none":
+        rps_f32 = measure(build_step(eps, int8="none"), iters=5, rounds=2)
+        print(f"# serving mode trunk_int8={SERVING_INT8_DEFAULT} (gate-"
+              f"approved default): {rays_per_sec:,.0f} rays/s; f32-trunk "
+              f"path: {rps_f32:,.0f}")
     try:
         import pathlib
         anchor = json.loads(pathlib.Path(__file__).with_name(

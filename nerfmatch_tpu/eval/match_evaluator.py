@@ -601,7 +601,7 @@ class NeRFMatchEvaluator:
                     nerf_ckpt = str(nerf_path).replace(
                         "$scene", dataset.scene).replace("#scene", dataset.scene)
                     renderer, renderer_params = load_nerf_render_from_ckpt(
-                        nerf_ckpt, stop_layer=sl)
+                        nerf_ckpt, stop_layer=sl, serving=True)
                 metrics = self.eval_data_loader(
                     renderer=renderer, renderer_params=renderer_params,
                     iters=iters, rthres=rthres,

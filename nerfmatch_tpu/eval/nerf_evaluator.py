@@ -107,9 +107,23 @@ def load_scene_normalization(config, root_dir: str = "."):
     return np.linalg.inv(scene2s)
 
 
-def load_nerf_render_from_ckpt(ckpt_path, stop_layer: int = -1):
-    """(renderer, params) with ``renderer.unnorm_scene`` attached."""
+def load_nerf_render_from_ckpt(ckpt_path, stop_layer: int = -1,
+                               serving: bool = False):
+    """(renderer, params) with ``renderer.unnorm_scene`` attached.
+
+    ``serving=True`` (the localization evaluator's re-render path):
+    resolve ``trunk_int8`` through :func:`serving_int8_mode` so
+    localize-time re-renders serve with the same gate-approved default
+    as the scene-point cache (an explicit ``render.trunk_int8`` in the
+    checkpoint config, including 'none', always wins)."""
+    from ..nerf.renderer import serving_int8_mode
+
     renderer, params, cfg = load_renderer_params(ckpt_path, stop_layer)
+    if serving and renderer.fused_eval_supported:
+        mode = serving_int8_mode(cfg)
+        if mode != getattr(renderer.cfg, "trunk_int8", "none"):
+            renderer.cfg = renderer.cfg.__class__(
+                **{**renderer.cfg.__dict__, "trunk_int8": mode})
     renderer.unnorm_scene = load_scene_normalization(cfg.data)
     return renderer, params
 
@@ -255,11 +269,24 @@ class NerfEvaluator:
 
     # ------------------------------------------------------------------
     def cache_scene_pts(self, feat_comb: str = "lin", debug: bool = False,
-                        cache_dir=None):
+                        cache_dir=None, trunk_int8: str | None = None):
         """Render every view on the ds grid and cache per-frame scene points
-        with the §3.2 npy schema consumed by ``load_frame_3d``."""
+        with the §3.2 npy schema consumed by ``load_frame_3d``.
+
+        ``trunk_int8``: int8 serving mode for the cache renders.  Default
+        (None) resolves through :func:`serving_int8_mode` — an explicit
+        ``render.trunk_int8`` in the config wins, an absent key means the
+        gate-approved ``SERVING_INT8_DEFAULT`` (when the fused path serves
+        this config; the XLA fallback stays f32)."""
+        from ..nerf.renderer import serving_int8_mode
+
+        if trunk_int8 is None:
+            trunk_int8 = serving_int8_mode(self.config)
+        if not self.renderer.fused_eval_supported:
+            trunk_int8 = "none"  # int8 trunks are a fused-kernel feature
         self.renderer.cfg = self.renderer.cfg.__class__(
-            **{**self.renderer.cfg.__dict__, "feat_comb": feat_comb})
+            **{**self.renderer.cfg.__dict__, "feat_comb": feat_comb,
+               "trunk_int8": trunk_int8})
         # The jitted/fused render programs were traced against the previous
         # cfg (jit caches by input shape only) — drop them so the new
         # compositing mode actually takes effect.

@@ -36,6 +36,22 @@ from ..utils.geometry import unnormalize_pts
 
 APP_EMBED_DIM = 16
 
+# int8 mode the LOCALIZATION-SERVING paths (scene-point caching +
+# localize-time re-rendering) default to when the config does not set
+# render.trunk_int8 — quality-gated end-to-end by scripts/int8_e2e_gate.py
+# (recall + median-drift-vs-noise-floor criteria; verdict recorded in
+# PARITY.md "int8 serving mode").  Reconstruction eval (PSNR renders)
+# keeps RenderConfig's own "none" default.
+SERVING_INT8_DEFAULT = "none"  # flipped by the gate verdict
+
+
+def serving_int8_mode(config) -> str:
+    """Resolve the int8 serving mode for cache/localization paths: an
+    explicit ``render.trunk_int8`` (including 'none') always wins; an
+    absent key means the gate-approved serving default."""
+    mode = getattr(getattr(config, "render", None), "trunk_int8", None)
+    return SERVING_INT8_DEFAULT if mode is None else mode
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

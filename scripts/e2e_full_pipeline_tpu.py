@@ -196,7 +196,12 @@ def nerf_config(root, odir, epochs=10, app=False):
                       "type": "mip", "appearance_embed": app},
         "render": {"chunksize": 16384, "use_viewdirs": True,
                    "use_disp": False, "perturb": True, "white_bg": False,
-                   "noise_std": 1.0, "use_fused_train": True},
+                   "noise_std": 1.0, "use_fused_train": True,
+                   # pinned f32 serving: these scripts' pose/PSNR numbers
+                   # are compared ACROSS rounds (PARITY e2e/ladder tables),
+                   # so the int8 serving default must not drift them; the
+                   # int8 gate overrides this per arm.
+                   "trunk_int8": "none"},
         "loss": {"ray_reg_weight": 0.01},
         "exp": {"seed": 1, "odir": str(odir), "prefix": "e2e",
                 "num_workers": 2, "max_epochs": epochs, "check_epochs": 2,

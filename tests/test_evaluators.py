@@ -567,3 +567,62 @@ def test_cache_scene_pts_fused_route_and_feat_comb_swap(scene, tmp_path):
         feats[tag] = feat
     # The swap must actually change the compositing (stale-jit bug check).
     assert np.abs(feats["lin"] - feats["max"]).max() > 1e-6
+
+
+def test_cache_serving_int8_default_resolution(scene, tmp_path, monkeypatch):
+    """The localization-serving int8 default (SERVING_INT8_DEFAULT)
+    resolves correctly: an explicit render.trunk_int8 (incl. 'none')
+    always wins; an absent key takes the serving default; a config the
+    fused path cannot serve is forced back to 'none' (int8 trunks are a
+    fused-kernel feature); and reconstruction eval (predict without the
+    cache path) never picks up the serving default."""
+    import nerfmatch_tpu.nerf.renderer as renderer_mod
+    from nerfmatch_tpu.eval.nerf_evaluator import NerfEvaluator
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer, serving_int8_mode
+
+    monkeypatch.setattr(renderer_mod, "SERVING_INT8_DEFAULT", "both")
+
+    # -- unit: resolution precedence --
+    cfg = small_nerf_cfg(scene)
+    assert serving_int8_mode(cfg) == "both"          # absent -> default
+    cfg.render.trunk_int8 = "none"
+    assert serving_int8_mode(cfg) == "none"          # explicit none wins
+    cfg.render.trunk_int8 = "coarse"
+    assert serving_int8_mode(cfg) == "coarse"        # explicit mode wins
+
+    # -- non-fused config (8 samples): the cache must force 'none' --
+    cfg = small_nerf_cfg(scene)
+    renderer = NerfRenderer(cfg, stop_layer=1)
+    assert not renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    ev = NerfEvaluator(cfg, renderer, params)
+    ev.cache_scene_pts(cache_dir=tmp_path / "xla", debug=True)
+    assert renderer.cfg.trunk_int8 == "none"
+
+    # -- fused-served config, absent key: the cache serves the default --
+    cfg = small_nerf_cfg(scene)
+    cfg.coarse_nerf.num_pts = 128
+    cfg.fine_nerf.num_pts = 128
+    renderer = NerfRenderer(cfg, stop_layer=1)
+    renderer.fused_interpret = True
+    assert renderer.fused_eval_supported
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    for mk in ("nerf_coarse", "nerf_fine"):
+        params[mk]["alpha_linear"]["bias"] = (
+            params[mk]["alpha_linear"]["bias"] + 2.0)
+    ev = NerfEvaluator(cfg, renderer, params)
+    ev.cache_scene_pts(cache_dir=tmp_path / "i8", debug=True)
+    assert renderer.cfg.trunk_int8 == "both"
+    assert renderer.act_scales is not None  # lazily calibrated
+
+    # -- same config, explicit 'none': stays f32 --
+    cfg2 = small_nerf_cfg(scene)
+    cfg2.coarse_nerf.num_pts = 128
+    cfg2.fine_nerf.num_pts = 128
+    cfg2.render.trunk_int8 = "none"
+    renderer2 = NerfRenderer(cfg2, stop_layer=1)
+    renderer2.fused_interpret = True
+    params2 = renderer2.init_params(jax.random.PRNGKey(0))
+    ev2 = NerfEvaluator(cfg2, renderer2, params2)
+    ev2.cache_scene_pts(cache_dir=tmp_path / "f32", debug=True)
+    assert renderer2.cfg.trunk_int8 == "none"
