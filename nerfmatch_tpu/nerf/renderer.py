@@ -40,9 +40,14 @@ APP_EMBED_DIM = 16
 # localize-time re-rendering) default to when the config does not set
 # render.trunk_int8 — quality-gated end-to-end by scripts/int8_e2e_gate.py
 # (recall + median-drift-vs-noise-floor criteria; verdict recorded in
-# PARITY.md "int8 serving mode").  Reconstruction eval (PSNR renders)
-# keeps RenderConfig's own "none" default.
-SERVING_INT8_DEFAULT = "none"  # flipped by the gate verdict
+# PARITY.md "int8 serving mode").  Gate run 2026-08-20 (30-epoch NeRF,
+# 4 modes x {single-shot, --iters 2}): "coarse" PASSES every arm
+# (single-shot median drift 0.067deg/0.0104 vs limits 0.74/0.012;
+# --iters 2: 1.08deg/0.042 vs 2.21/0.067; recall unchanged), "both"
+# FAILS (single-shot |dt| 0.0258 > 0.0120 limit) and stays opt-in.
+# Reconstruction eval (PSNR renders) keeps RenderConfig's own "none"
+# default.
+SERVING_INT8_DEFAULT = "coarse"  # gate verdict: coarse PASS / both FAIL
 
 
 def serving_int8_mode(config) -> str:

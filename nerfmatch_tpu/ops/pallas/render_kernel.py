@@ -1108,7 +1108,8 @@ def prepare_ray_inputs(rays):
 
 
 def make_fused_hierarchical(renderer, interpret: bool = False,
-                            ray_tile: int = 32, coarse_rgb: bool = False,
+                            ray_tile: int | None = None,
+                            coarse_rgb: bool = False,
                             sample_blocks: int = 4,
                             coarse_sample_blocks: int | None = None,
                             early_term_eps: float = 0.0,
@@ -1120,11 +1121,20 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     blocks — a ~5% scheduling win on v5e with outputs identical to the
     unblocked kernel (2e-9 measured on chip).
 
-    ``ray_tile=32`` with 4 sample blocks puts each trunk matmul at
-    M = 32*32 = 1024 rows — the measured v5e sweet spot (23.5 ms vs
-    24.6 at M=512 and 26.9 at M=1536 for the 9216-ray bench batch;
-    outputs bit-identical across ray_tile at fixed sample_blocks, since
-    the z-block reduction order is unchanged).
+    ``ray_tile=None`` (default) resolves ADAPTIVELY: 16 when
+    ``early_term_eps > 0``, else 32.  At eps=0, tile 32 puts each trunk
+    matmul at M = 32*32 = 1024 rows — the measured v5e sweet spot
+    (23.5 ms vs 24.6 at M=512 and 26.9 at M=1536 for the 9216-ray bench
+    batch).  With early termination ON the tradeoff flips: a block is
+    skipped only when ALL rays of a tile are opaque, so halving the
+    tile raises the realized skip yield by more than the smaller
+    matmul loses (round-5 one-process sweeps, scripts/stage_probe.py,
+    trained room scene, single-chunk: bf16 t32/eps 19.84 ms vs
+    t16/eps **19.11**; int8-coarse t32/eps 19.07 vs t16/eps **18.59**;
+    at eps=0 tile 32 stays best in both precisions: bf16 19.42 vs
+    20.31, int8 18.28 vs 19.13).  Outputs are bit-identical across
+    ray_tile at fixed sample_blocks, since the z-block reduction order
+    is unchanged — the adaptive default is purely a schedule choice.
 
     ``trunk_int8`` in {"none", "coarse", "both"}: opt-in int8 serving mode
     — run the named stages' MLP trunks as int8 MXU dots (2x bf16 MACs/
@@ -1178,6 +1188,8 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     fine_cfg = renderer.fine_cfg
     S = fine_cfg.num_pts
     app_dim = 16 if cfg.appearance_embedding else 0
+    if ray_tile is None:  # adaptive schedule default (docstring table)
+        ray_tile = 16 if early_term_eps > 0 else 32
     assert trunk_int8 in ("none", "coarse", "both"), trunk_int8
     int8_c = trunk_int8 in ("coarse", "both")
     int8_f = trunk_int8 == "both"
