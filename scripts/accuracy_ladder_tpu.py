@@ -92,6 +92,11 @@ def main():
     ccfg.downsample = DS
     ccfg.data.downsample = DS
     ccfg.ckpt = "eval"
+    # Pin the f32/bf16 serving path: this ladder isolates the NeRF-quality
+    # variable against the round-3 reference points, which were measured
+    # before SERVING_INT8_DEFAULT flipped to 'coarse' (int8 drift is
+    # gate-verified sub-noise, but the comparison stays single-variable).
+    ccfg.render.trunk_int8 = "none"
     renderer = NerfRenderer(ccfg, stop_layer=3)
     ev = NerfEvaluator(ccfg, renderer, params)
     cache_dir = ev.cache_scene_pts(cache_dir=root / "scene_cache")

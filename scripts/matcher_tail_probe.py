@@ -65,42 +65,47 @@ def build_step(model, loss):
 def load_device_events(logdir: Path):
     """Load XLA-op events from the profiler's chrome trace JSON.
 
-    Keeps only events on TPU op lanes (the '/device:TPU:* (op)' or
-    'XLA Ops' tracks), skipping host threads and steps lanes."""
+    Keeps ONLY the device's 'XLA Ops' thread lane: the 'XLA Modules'
+    lane (whole-program jit_step events) and the 'Steps' lane (events
+    named "0".."N") are containers that double-count every op and must
+    be excluded (the axon v5e trace exposes lanes: XLA Ops, XLA
+    Modules, Steps, TC Overlay, Scalar Unit, Async XLA Ops)."""
     paths = sorted(glob.glob(str(logdir / "**" / "*.trace.json.gz"),
                              recursive=True))
     assert paths, f"no trace under {logdir}"
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # pid/tid -> lane name from metadata events
-    names = {}
+    # (pid, tid) -> thread lane name from metadata events
+    pnames, tnames = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
-            names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {pid for pid, n in names.items()
-                if "TPU" in n or "device" in n.lower()}
+            pnames[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     out = []
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X":
             continue
-        # steps/annotation lanes carry no op names we can join on HLO
-        nm = e.get("name", "")
-        if not nm or nm.startswith("TraceContext"):
+        if tnames.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
-        out.append((nm, float(e.get("dur", 0.0)),
+        out.append((e.get("name", ""), float(e.get("dur", 0.0)),
                     dict(e.get("args") or {})))
-    return out, names
+    return out, pnames
 
 
 CATS = (
-    ("attention-kernel", re.compile(r"attention|mha_fwd|mha_bwd", re.I)),
-    ("dwconv-vjp-kernel", re.compile(r"sepconv|dw_bwd|dgrad|wgrad", re.I)),
+    # the Pallas kernels show up under their jitted wrapper names
+    ("attn-bwd (pallas)", re.compile(r"fused_bwd|mha_bwd", re.I)),
+    ("attn-fwd (pallas)", re.compile(r"fused_fwd|mha_fwd", re.I)),
+    ("dw-wgrad (pallas)", re.compile(r"dw_star_wgrad|sepconv.*wgrad", re.I)),
+    ("dw-dgrad (pallas)", re.compile(r"dw_star_dgrad|sepconv.*dgrad", re.I)),
     ("pallas/custom", re.compile(r"custom-call|tpu_custom_call", re.I)),
     ("convolution", re.compile(r"^%?convolution")),
     ("copy/transpose", re.compile(r"^%?(copy|transpose|bitcast)")),
     ("dot/matmul", re.compile(r"^%?dot")),
-    ("fusion", re.compile(r"^%?(loop_|input_|output_)?fusion")),
+    ("mult-reduce-fusion", re.compile(r"multiply_reduce_fusion")),
+    ("fusion", re.compile(r"fusion")),
     ("reduce", re.compile(r"^%?reduce")),
     ("dynamic-slice/gather", re.compile(r"(dynamic.slice|gather|scatter)")),
     ("all-reduce/collective", re.compile(r"(all-reduce|collective)")),
@@ -133,10 +138,16 @@ def hlo_fusion_index(hlo_text: str):
             if op:
                 comp_ops[cur][op.group(1)] += 1
     fusions = {}
-    for m in re.finditer(
-            r"%?([\w.\-_]*fusion[\w.\-_]*)\s*=\s*(\S+)\s+fusion\(.*?calls=%?"
-            r"([\w.\-_]+)", hlo_text):
-        fusions[m.group(1)] = (m.group(2), m.group(3))
+    # line-wise split handles tuple shapes, whose nested parens (e.g.
+    # "(f32[]{:T(128)}, ...)") defeat a \S+ or [^)]* shape regex
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if not (s.startswith("%") and " = " in s and " fusion(" in s):
+            continue
+        nm = s.split(" = ")[0].lstrip("%")
+        shape = s.split(" = ", 1)[1].split(" fusion(")[0]
+        mc = re.search(r"calls=%?([\w.\-_]+)", s)
+        fusions[nm] = (shape, mc.group(1) if mc else "?")
     return fusions, comp_ops
 
 
