@@ -29,11 +29,11 @@ from .layers import ACTIVATIONS, init_layernorm, init_linear, layer_norm, linear
 # Attention cores
 # ---------------------------------------------------------------------------
 
-_FUSED_SCOPE = [False]
+_FUSED_SCOPE = [(False, False)]  # (enabled, bf16)
 
 
 @contextlib.contextmanager
-def fused_attention_scope(enabled: bool = True):
+def fused_attention_scope(enabled: bool = True, bf16: bool = False):
     """Trace-time opt-in for the fused Pallas attention core.
 
     Opt-in (rather than always-on) because XLA compiles convolutions that
@@ -41,8 +41,16 @@ def fused_attention_scope(enabled: bool = True):
     ConvFormer block gains ~4 ms when any downstream op is a pallas_call) —
     so the fused kernel is only enabled for programs without convolutions,
     e.g. the post-backbone half of the split eval forward
-    (``NeRFMatcherCoarse.eval_match``)."""
-    _FUSED_SCOPE.append(enabled)
+    (``NeRFMatcherCoarse.eval_match``).
+
+    ``bf16``: store the Pallas core's dot operands as bf16 (config
+    flag ``attn_bf16``, default ON) — bit-identical on v5e, where the
+    MXU's default precision already runs f32 operands as single-pass
+    bf16; the flag only halves operand traffic
+    (scripts/attn_bf16_gate.py).  Applies only to the fused kernel;
+    calls that fall back to the einsum path (bias, sub-threshold
+    shapes, non-TPU) keep f32 storage."""
+    _FUSED_SCOPE.append((enabled, bf16))
     try:
         yield
     finally:
@@ -58,8 +66,9 @@ def _attend(qs, k, v, bias=None):
     from ..ops.pallas.attention_kernel import (
         fused_attention, fused_attention_available)
 
-    if bias is None and _FUSED_SCOPE[-1] and fused_attention_available(qs, k):
-        return fused_attention(qs, k, v)
+    enabled, bf16 = _FUSED_SCOPE[-1]
+    if bias is None and enabled and fused_attention_available(qs, k):
+        return fused_attention(qs, k, v, bf16)
     logits = jnp.einsum("blhd,bshd->bhls", qs, k)
     if bias is not None:
         logits = logits + bias

@@ -306,7 +306,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         cache = self.__dict__.setdefault("_eval_jit_cache", {})
         if ("feats_ms",) not in cache:
             def feats(params, fmap, pt_feat, pt3d):
-                with fused_attention_scope(True):
+                with fused_attention_scope(True, bf16=self.cfg.attn_bf16):
                     im_cfeat, fmap_f = self.im_feat_from_fmap(params, fmap)
                     pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d)
                     im_cfeat, pt_cfeat = self.apply_coarse_former(
@@ -317,7 +317,7 @@ class NeRFMatcherMS(NeRFMatcherCoarse):
         if ("fine_ps", mesh) not in cache:
             def fine_local(params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
                            j_ids):
-                with fused_attention_scope(True):
+                with fused_attention_scope(True, bf16=self.cfg.attn_bf16):
                     return self.forward_fine(
                         params, fmap_f, im_cfeat, pt_cfeat, b_ids, i_ids,
                         j_ids, identity_list=False)

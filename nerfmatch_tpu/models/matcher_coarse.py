@@ -59,6 +59,17 @@ class CoarseMatcherConfig:
     cformer_type: str = "crs"       # "crs" | "crsv2"
     coarse_layers: int = 1
     fused_attention_train: bool = True  # Pallas attention in the train step
+    attn_bf16: bool = True          # bf16 OPERAND STORAGE in the fused
+                                    # Pallas attention core — numerically
+                                    # FREE on v5e (the MXU's default
+                                    # precision already runs f32 dot
+                                    # operands as single-pass bf16:
+                                    # fwd/bwd measured BIT-IDENTICAL at
+                                    # gate + production shapes, scripts/
+                                    # attn_bf16_gate.py), it only halves
+                                    # operand HBM/VMEM traffic (step
+                                    # 103.7 -> 102.4 ms).  False restores
+                                    # f32 operand storage (same math).
     compute_dtype: str = "float32"  # "bfloat16": bf16 conv backbone + input
                                     # image only (attention/matching stay
                                     # f32 — measured conv-bound, bf16 trunk
@@ -340,7 +351,7 @@ class NeRFMatcherCoarse:
                 cache[key] = jax.jit(self.im_backbone)
             elif kind == "feats":
                 def feats(params, fmap, pt_feat, pt3d):
-                    with fused_attention_scope(True):
+                    with fused_attention_scope(True, bf16=self.cfg.attn_bf16):
                         im_cfeat = self.im_feat_from_fmap(params, fmap)
                         pt_cfeat = self.extract_pt_feat(params, pt_feat, pt3d)
                         return self.apply_coarse_former(params, im_cfeat,
@@ -355,7 +366,7 @@ class NeRFMatcherCoarse:
                 def tail(params, fmap, pt_feat, pt3d, im_mask, pt_mask):
                     kw = ({"pair_mesh": pair_mesh} if kind == "multi"
                           else {})
-                    with fused_attention_scope(True):
+                    with fused_attention_scope(True, bf16=self.cfg.attn_bf16):
                         out = fwd(params, None, pt_feat, pt3d, im_mask,
                                   pt_mask, mutual=mutual,
                                   match_thres=match_thres, fmap=fmap, **kw)

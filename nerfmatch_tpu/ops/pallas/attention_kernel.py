@@ -50,29 +50,45 @@ def _pick_block(L: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    # Operand refs may be f32 (default) or bf16 (the quality-gated
+    # `bf16` mode: MXU dots at 2x MACs/cycle).  Softmax statistics and
+    # accumulation stay f32 either way (preferred_element_type); only
+    # the dot OPERANDS change precision, so `e` is cast to the value
+    # dtype for the PV dot (identity in f32 mode).
     q = q_ref[0]                                  # (BL, D)
     k = k_ref[0]                                  # (Sp, D)
     v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)       # (BL, Sp)
+        preferred_element_type=jnp.float32)       # (BL, Sp) f32
     scores = scores + mask_ref[...]               # -inf on KV padding
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(e, v, preferred_element_type=jnp.float32) / s
+    o_ref[0] = jnp.dot(e.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32) / s
 
 
-@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
-def _fused_fwd(qs, k, v, block_l: int = 512, interpret: bool = False):
-    """qs (B, L, H, D) pre-scaled; k/v (B, S, H, D) -> (B, L, H, D)."""
+@functools.partial(jax.jit,
+                   static_argnames=("block_l", "interpret", "bf16"))
+def _fused_fwd(qs, k, v, block_l: int = 512, interpret: bool = False,
+               bf16: bool = False):
+    """qs (B, L, H, D) pre-scaled; k/v (B, S, H, D) -> (B, L, H, D).
+
+    ``bf16``: cast Q/K/V to bfloat16 BEFORE the kernel — halves both the
+    HBM->VMEM operand traffic and the MXU cycles of every dot; softmax
+    statistics and all accumulations stay f32 (see ``_attn_kernel``).
+    Output is f32 in both modes."""
     B, L, H, D = qs.shape
     S = k.shape[1]
     lp = -(-L // block_l) * block_l
     sp = -(-S // 128) * 128
+    op_dt = jnp.bfloat16 if bf16 else None
 
     def heads(t, n, npad):
         t = jnp.swapaxes(t, 1, 2).reshape(B * H, n, D)
+        if op_dt is not None:
+            t = t.astype(op_dt)
         return jnp.pad(t, ((0, 0), (0, npad - n), (0, 0)))
 
     qh = heads(qs, L, lp)
@@ -122,29 +138,41 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref,
         preferred_element_type=jnp.float32) + mask_ref[...]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    z = e / jnp.sum(e, axis=-1, keepdims=True)    # (BL, Sp)
+    z = e / jnp.sum(e, axis=-1, keepdims=True)    # (BL, Sp) f32
+    # bf16 mode: softmax stats/recomputation stay f32; z and dl are cast
+    # to the operand dtype only where they feed an MXU dot (identity in
+    # f32 mode).  dQ/dK/dV accumulate in f32 output blocks in both modes.
+    op_dt = kk.dtype
 
     dz = jax.lax.dot_general(g, vv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dl = z * (dz - jnp.sum(dz * z, axis=-1, keepdims=True))
+    dl = (z * (dz - jnp.sum(dz * z, axis=-1, keepdims=True))).astype(op_dt)
+    zc = z.astype(op_dt)
     dq_ref[0] = jnp.dot(dl, kk, preferred_element_type=jnp.float32)
     dk_ref[0] += jax.lax.dot_general(dl, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-    dv_ref[0] += jax.lax.dot_general(z, g, (((0,), (0,)), ((), ())),
+    dv_ref[0] += jax.lax.dot_general(zc, g, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
-def _fused_bwd(qs, k, v, g, block_l: int = 512, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("block_l", "interpret", "bf16"))
+def _fused_bwd(qs, k, v, g, block_l: int = 512, interpret: bool = False,
+               bf16: bool = False):
     """Pallas backward: same blocking as the forward, with dK/dV
-    accumulated across L-blocks in VMEM-resident output blocks."""
+    accumulated across L-blocks in VMEM-resident output blocks.
+    ``bf16`` casts the Q/K/V/G dot OPERANDS (see ``_fused_fwd``);
+    returned gradients are f32 in both modes."""
     B, L, H, D = qs.shape
     S = k.shape[1]
     lp = -(-L // block_l) * block_l
     sp = -(-S // 128) * 128
+    op_dt = jnp.bfloat16 if bf16 else None
 
     def heads(t, n, npad):
         t = jnp.swapaxes(t, 1, 2).reshape(B * H, n, D)
+        if op_dt is not None:
+            t = t.astype(op_dt)
         return jnp.pad(t, ((0, 0), (0, npad - n), (0, 0)))
 
     qh = heads(qs, L, lp)
@@ -206,23 +234,36 @@ def _attn_bwd_xla(qs, k, v, g):
     return dqs, dk, dv
 
 
-@jax.custom_vjp
-def fused_attention(qs, k, v):
-    return _fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1]))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(qs, k, v, bf16: bool = False):
+    """Fused attention; ``bf16=True`` stores the dot OPERANDS as bf16.
+
+    On v5e this is numerically FREE — the MXU's default precision
+    already runs f32 dot operands as single-pass bf16, so fwd/bwd are
+    measured BIT-IDENTICAL to the f32-operand mode at gate and
+    production shapes (scripts/attn_bf16_gate.py); the flag only
+    halves operand HBM/VMEM traffic (softmax statistics and all
+    accumulations are f32 in both modes).  In interpret mode (true
+    f32 arithmetic) the two modes differ by bf16 rounding, which is
+    what the interpret tests bound."""
+    return _fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1]),
+                      bf16=bf16)
 
 
-def _fwd(qs, k, v):
-    return (_fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1])),
+def _fwd(qs, k, v, bf16):
+    return (_fused_fwd(qs, k, v, block_l=_pick_block(qs.shape[1]),
+                       bf16=bf16),
             (qs, k, v))
 
 
-def _bwd(res, g):
+def _bwd(bf16, res, g):
     # Unconditionally the Pallas backward: the forward already committed to
     # the kernel path (callers gate with fused_attention_available BEFORE
     # calling), and a silent XLA fallback here would make sub-threshold
     # direct calls run an untested mixed Pallas-fwd/XLA-bwd pair.
     qs, k, v = res
-    return _fused_bwd(qs, k, v, g, block_l=_pick_block(qs.shape[1]))
+    return _fused_bwd(qs, k, v, g, block_l=_pick_block(qs.shape[1]),
+                      bf16=bf16)
 
 
 fused_attention.defvjp(_fwd, _bwd)

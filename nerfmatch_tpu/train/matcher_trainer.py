@@ -100,6 +100,7 @@ class CoarseTrainStep:
         if fused_attention is None:
             fused_attention = bool(getattr(model.cfg,
                                            "fused_attention_train", True))
+        attn_bf16 = bool(getattr(model.cfg, "attn_bf16", False))
 
         def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
                  conf_gt, key, axis=None):
@@ -122,7 +123,7 @@ class CoarseTrainStep:
                 metrics = {"coarse_loss": coarse_loss, "feat_l2": feat_l2,
                            "loss": coarse_loss}
                 return coarse_loss, metrics
-            with fused_attention_scope(fused_attention):
+            with fused_attention_scope(fused_attention, bf16=attn_bf16):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
             if axis is not None:
@@ -163,6 +164,7 @@ class C2FTrainStep:
         if fused_attention is None:
             fused_attention = bool(getattr(cfg, "fused_attention_train",
                                            True))
+        attn_bf16 = bool(getattr(cfg, "attn_bf16", False))
 
         def body(params, opt_state, image, pt_feat, pt3d, im_mask, pt_mask,
                  conf_gt, pt2d, pt2d_proj, key, coarse_only, axis=None):
@@ -228,7 +230,7 @@ class C2FTrainStep:
                 }
                 return loss, metrics
 
-            with fused_attention_scope(fused_attention):
+            with fused_attention_scope(fused_attention, bf16=attn_bf16):
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
             if axis is not None:

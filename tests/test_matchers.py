@@ -321,6 +321,59 @@ def test_fused_attention_bwd_kernel_interpret():
             np.abs(np.asarray(a) - np.asarray(b)).max()
 
 
+def test_fused_attention_bf16_mode_interpret():
+    """The opt-in bf16 attention mode (operand dots in bf16, f32 softmax
+    and accumulation) stays within bf16 rounding of the f32 path, in both
+    the forward and the backward kernel; outputs/grads remain f32."""
+    import jax
+    import jax.numpy as jnp
+    from nerfmatch_tpu.ops.pallas.attention_kernel import (
+        _fused_bwd, _fused_fwd)
+
+    rng = np.random.default_rng(7)
+    B, L, S, H, D = 2, 40, 72, 4, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+
+    ref = _fused_fwd(q, k, v, block_l=16, interpret=True)
+    out = _fused_fwd(q, k, v, block_l=16, interpret=True, bf16=True)
+    assert out.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; logits/PV errors compound through the
+    # softmax — 3e-2 absolute on O(1) values is the expected regime,
+    # while anything ~1e-1 would indicate a broken accumulation dtype.
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() < 3e-2 and d.mean() < 3e-3, (d.max(), d.mean())
+
+    ref_g = _fused_bwd(q, k, v, g, block_l=16, interpret=True)
+    got_g = _fused_bwd(q, k, v, g, block_l=16, interpret=True, bf16=True)
+    for a, b in zip(ref_g, got_g):
+        assert b.dtype == jnp.float32
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < 6e-2 and d.mean() < 6e-3, (d.max(), d.mean())
+
+
+def test_attn_bf16_flag_routes_through_scope():
+    """`fused_attention_scope(..., bf16=...)` stores the flag the fused
+    path reads; the default is ON (bit-identical on v5e — the MXU's
+    default precision already runs f32 dot operands as bf16; the flag
+    only halves operand traffic) and exists on both matcher configs."""
+    from nerfmatch_tpu.models.attention import (_FUSED_SCOPE,
+                                                fused_attention_scope)
+    from nerfmatch_tpu.models.matcher_c2f import C2FMatcherConfig
+    from nerfmatch_tpu.models.matcher_coarse import CoarseMatcherConfig
+
+    assert CoarseMatcherConfig().attn_bf16 is True
+    assert C2FMatcherConfig().attn_bf16 is True
+    assert _FUSED_SCOPE[-1] == (False, False)
+    with fused_attention_scope(True, bf16=True):
+        assert _FUSED_SCOPE[-1] == (True, True)
+        with fused_attention_scope(True):
+            assert _FUSED_SCOPE[-1] == (True, False)
+    assert _FUSED_SCOPE[-1] == (False, False)
+
+
 def test_packed_window_sa_matches_unpacked():
     """Block-diagonal packed window attention == per-window attention."""
     import jax
