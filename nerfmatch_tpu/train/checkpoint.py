@@ -158,6 +158,40 @@ def convert_torch_params(template, state_dict, prefix: str = "",
     return jax.tree_util.tree_unflatten(treedef, new_leaves), missing
 
 
+def export_torch_state_dict(params, prefix: str = "model.",
+                            backbone_extra: str = ""):
+    """Inverse of :func:`convert_torch_params`: emit a reference-format
+    torch state dict {key: np.ndarray} from our param pytree.
+
+    Layouts are re-oriented back (HWIO -> OIHW conv weights, our (in,
+    out) linears -> torch (out, in); embedding tables stay (vocab, dim)),
+    and keys are generated by the same ``_torch_key_for_path`` mapping
+    the importer uses, so ``convert_torch_params(template,
+    export_torch_state_dict(params, prefix=""))`` round-trips exactly.
+    Use ``prefix='model.'`` (default) for Lightning-style checkpoints and
+    ``backbone_extra='model.'`` for the c2f MetaFormer_MS wrapper, i.e.
+    the exact inverses of the importer's arguments.  Lets checkpoints
+    trained here be consumed by the reference's torch tooling, and
+    synthesizes reference-format artifacts for the parity protocol
+    (scripts/run_real_parity.sh --synthetic)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else k.idx for k in keypath)
+        tkey = _torch_key_for_path(path)
+        if backbone_extra and tkey.startswith("backbone.") \
+                and (len(path) < 2 or path[1] != "fpn"):
+            tkey = "backbone." + backbone_extra + tkey[len("backbone."):]
+        v = np.asarray(leaf, np.float32)
+        if v.ndim == 4:
+            v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+        elif v.ndim == 2 and path[-1] == "weight" \
+                and not any("embedding" in str(p) for p in path):
+            v = v.T
+        out[prefix + tkey] = v
+    return out
+
+
 def convert_timm_backbone(template, timm_state_dict):
     """Import a *raw* timm MetaFormer checkpoint (keys ``stages.1.blocks...``
     with dots) into a backbone param template.

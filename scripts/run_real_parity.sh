@@ -23,51 +23,76 @@
 #                              Research) and extract seq dirs per scene.
 #
 # Reference protocol being reproduced: /root/reference/model_eval/README.md:54-141.
+#
+# --synthetic: prove the protocol EXECUTES without egress.  Generates
+# every artifact in the exact reference formats (trained NeRF exported
+# as a torch-Lightning ckpt via export_torch_state_dict, Mini/Full
+# matcher Lightning ckpts, 7-Scenes-layout annotations) and then runs
+# the SAME steps 2-5 CLI commands against them — so when the real bytes
+# arrive, only this file's default paths change.
 set -e
 cd "$(dirname "$0")/.."
 
 SCENE=${SCENE:-chess}
 SPLIT=${SPLIT:-test}
+IMG_WH=${IMG_WH:-"480 480"}
+ANNO=${ANNO:-"data/annotations/7scenes_jsons/sfm/transforms_${SCENE}_#split.json"}
+OUT=${OUT:-outputs}
 
-echo "== step 0: fetch artifacts (no-ops if already present) =="
-bash pretrained/download_pretrained.sh
-bash data/download_data.sh
+if [ "$1" = "--synthetic" ]; then
+  ROOT=${PARITY_SYNTH_ROOT:-/tmp/parity_synth}
+  echo "== synthetic mode: generating reference-format artifacts =="
+  python scripts/make_synthetic_parity_artifacts.py
+  SCENE=toy
+  SPLIT=test
+  IMG_WH="128 128"
+  ANNO="${ROOT}/toy/transforms_#split.json"
+  OUT="${ROOT}/outputs"
+  NERF_CKPT="${ROOT}/pretrained/nerf/toy/synth_last.ckpt"
+  MATCH_CKPT_DIR="${ROOT}/pretrained/nerfmatch/7scenes_synth"
+  echo "== step 1 (synthetic): torch-format round-trip test =="
+  python -m pytest tests/test_checkpoint.py::test_export_torch_state_dict_roundtrip -q
+else
+  echo "== step 0: fetch artifacts (no-ops if already present) =="
+  bash pretrained/download_pretrained.sh
+  bash data/download_data.sh
 
-NERF_CKPT=$(ls pretrained/nerf/*"${SCENE}"*/*.ckpt pretrained/nerf/*"${SCENE}"*.ckpt 2>/dev/null | head -1)
-MATCH_CKPT_DIR=$(ls -d pretrained/nerfmatch/*7scenes* 2>/dev/null | head -1)
-if [ -z "$NERF_CKPT" ]; then
-  echo "BLOCKED: no NeRF checkpoint under pretrained/nerf — download failed?" >&2
-  exit 2
+  NERF_CKPT=$(ls pretrained/nerf/*"${SCENE}"*/*.ckpt pretrained/nerf/*"${SCENE}"*.ckpt 2>/dev/null | head -1)
+  MATCH_CKPT_DIR=$(ls -d pretrained/nerfmatch/*7scenes* 2>/dev/null | head -1)
+  if [ -z "$NERF_CKPT" ]; then
+    echo "BLOCKED: no NeRF checkpoint under pretrained/nerf — download failed?" >&2
+    exit 2
+  fi
+
+  echo "== step 1: gated real-ckpt conversion test =="
+  python -m pytest tests/test_matcher_parity_fullsize.py::test_real_downloaded_ckpt_conversion -q
 fi
-
-echo "== step 1: gated real-ckpt conversion test =="
-python -m pytest tests/test_matcher_parity_fullsize.py::test_real_downloaded_ckpt_conversion -q
 
 echo "== step 2 (config 1): render the ${SCENE} ${SPLIT} split — PSNR + rays/s =="
 python -m nerfmatch_tpu.cli.eval_nerf \
   --ckpt "$NERF_CKPT" \
-  --scene_anno_path "data/annotations/7scenes_jsons/sfm/transforms_${SCENE}_#split.json" \
-  --split "$SPLIT" --img_wh 480 480
+  --scene_anno_path "$ANNO" \
+  --split "$SPLIT" --img_wh $IMG_WH
 
 echo "== step 3 (feeds configs 2-3): write the scene-point feature cache =="
 python -m nerfmatch_tpu.cli.eval_nerf \
   --ckpt "$NERF_CKPT" \
-  --scene_anno_path "data/annotations/7scenes_jsons/sfm/transforms_${SCENE}_#split.json" \
+  --scene_anno_path "$ANNO" \
   --cache_scene_pts --downsample 8 --stop_layer 3 --feat_comb lin \
-  --cache_dir "outputs/scene_pts/${SCENE}"
+  --cache_dir "${OUT}/scene_pts/${SCENE}"
 
 echo "== step 4 (config 2): Mini (coarse) matcher benchmark =="
 python -m nerfmatch_tpu.cli.benchmark_nerfmatch \
   --ckpt_dir "$MATCH_CKPT_DIR" --model_name mini \
   --scene "$SCENE" --split "$SPLIT" --coarse_only \
-  --scene_dir "outputs/scene_pts/${SCENE}" \
+  --scene_dir "${OUT}/scene_pts/${SCENE}" \
   --mutual --solver cv2 --rthres 10 --iters 2
 
 echo "== step 5 (config 3): Full (c2f) matcher benchmark =="
 python -m nerfmatch_tpu.cli.benchmark_nerfmatch \
   --ckpt_dir "$MATCH_CKPT_DIR" --model_name full \
   --scene "$SCENE" --split "$SPLIT" \
-  --scene_dir "outputs/scene_pts/${SCENE}" \
+  --scene_dir "${OUT}/scene_pts/${SCENE}" \
   --mutual --solver colmap --rthres 5 --iters 2
 
 echo "== done: compare t_med/r_med/recall + PSNR against the reference run =="

@@ -366,3 +366,47 @@ def test_native_coarse_to_c2f_graft(tmp_path):
     fi = np.asarray(jax.tree_util.tree_leaves(init["fine_sa"])[0])
     fo = np.asarray(jax.tree_util.tree_leaves(out["fine_sa"])[0])
     assert np.allclose(fi, fo)
+
+
+def test_export_torch_state_dict_roundtrip():
+    """export_torch_state_dict is the exact inverse of
+    convert_torch_params: NeRF and c2f-matcher params round-trip through
+    the reference torch format with zero missing keys and exact values."""
+    import jax
+    from nerfmatch_tpu.nerf.renderer import NerfRenderer
+    from nerfmatch_tpu.models.matcher_c2f import (C2FMatcherConfig,
+                                                  NeRFMatcherMS)
+    from nerfmatch_tpu.train.checkpoint import export_torch_state_dict
+    from tests.test_renderer import small_render_config
+
+    # NeRF (hierarchical, feature tap, appearance table).
+    cfg = small_render_config()
+    cfg.render.appearance_embedding = True
+    renderer = NerfRenderer(cfg, num_frames=3)
+    params = renderer.init_params(jax.random.PRNGKey(1))
+    state = export_torch_state_dict(params, prefix="")
+    template = renderer.init_params(jax.random.PRNGKey(2))
+    back, missing = convert_torch_params(template, state)
+    assert not missing
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), pa
+
+    # C2F matcher incl. the MetaFormer_MS backbone wrapper remap + FPN.
+    cfg = C2FMatcherConfig(backbone="tiny", pretrained=False, cfeat_dim=32,
+                           ffeat_dim=16, pt_dim=16, im_pe=False, im_sa=1,
+                           im_sa_type="full", pt_sa=1, pt_pe=True,
+                           coarse_layers=1, fine_sa=1)
+    model = NeRFMatcherMS(cfg)
+    mparams = model.init_params(jax.random.PRNGKey(3))
+    mstate = export_torch_state_dict(mparams, prefix="",
+                                     backbone_extra="model.")
+    mtemplate = model.init_params(jax.random.PRNGKey(4))
+    mback, mmissing = convert_torch_params(mtemplate, mstate,
+                                           backbone_extra="model.")
+    assert not mmissing
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(mparams)[0],
+            jax.tree_util.tree_flatten_with_path(mback)[0]):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), pa
