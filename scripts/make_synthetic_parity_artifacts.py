@@ -46,7 +46,7 @@ def save_lightning_ckpt(path, state_np, hparams_ns, step):
 
     path.parent.mkdir(parents=True, exist_ok=True)
     torch.save({
-        "state_dict": {k: torch.from_numpy(np.asarray(v))
+        "state_dict": {k: torch.from_numpy(np.array(v))
                        for k, v in state_np.items()},
         "hyper_parameters": dict(vars(hparams_ns)),
         "epoch": step, "global_step": step,
