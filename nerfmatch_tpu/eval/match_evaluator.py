@@ -596,8 +596,27 @@ class NeRFMatchEvaluator:
                 loader = DataLoader(dataset, batch_size=bs, shuffle=False)
                 renderer = renderer_params = None
                 if (not cached_pt) or query2query or (iters > 1) or inerf_conf:
+                    if nerf_path is None:
+                        raise ValueError(
+                            "This protocol re-renders through the NeRF "
+                            "(uncached points / --iters>1 / iNeRF / "
+                            "query2query) but no NeRF checkpoint was given "
+                            "— pass --nerf_path (supports $scene/#scene "
+                            "placeholders).")
                     sl = stop_layer if stop_layer > 0 else \
                         parse_nerf_stop_layer(dataset.scene_dir)
+                    if sl < 0 and iters > 1:
+                        # The scene cache encodes its feature layer in the
+                        # path (reference convention `.../inter_layer3/...`,
+                        # model_eval/README.md:56).  Re-rendering with a
+                        # DIFFERENT tap than the matcher was trained on
+                        # silently collapses matches — refuse to guess.
+                        logger.warning(
+                            f"scene_dir {dataset.scene_dir} has no "
+                            "inter_layer<k> tag: --iters re-renders will "
+                            "use the final-layer feature tap, which "
+                            "likely mismatches the cached features the "
+                            "matcher was trained on.")
                     nerf_ckpt = str(nerf_path).replace(
                         "$scene", dataset.scene).replace("#scene", dataset.scene)
                     renderer, renderer_params = load_nerf_render_from_ckpt(

@@ -79,20 +79,22 @@ python -m nerfmatch_tpu.cli.eval_nerf \
   --ckpt "$NERF_CKPT" \
   --scene_anno_path "$ANNO" \
   --cache_scene_pts --downsample 8 --stop_layer 3 --feat_comb lin \
-  --cache_dir "${OUT}/scene_pts/${SCENE}"
+  --cache_dir "${OUT}/scene_pts/inter_layer3/${SCENE}"
 
 echo "== step 4 (config 2): Mini (coarse) matcher benchmark =="
 python -m nerfmatch_tpu.cli.benchmark_nerfmatch \
   --ckpt_dir "$MATCH_CKPT_DIR" --model_name mini \
   --scene "$SCENE" --split "$SPLIT" --coarse_only \
-  --scene_dir "${OUT}/scene_pts/${SCENE}" \
+  --scene_dir "${OUT}/scene_pts/inter_layer3/${SCENE}/ds8lin" \
+  --nerf_path "$NERF_CKPT" \
   --mutual --solver cv2 --rthres 10 --iters 2
 
 echo "== step 5 (config 3): Full (c2f) matcher benchmark =="
 python -m nerfmatch_tpu.cli.benchmark_nerfmatch \
   --ckpt_dir "$MATCH_CKPT_DIR" --model_name full \
   --scene "$SCENE" --split "$SPLIT" \
-  --scene_dir "${OUT}/scene_pts/${SCENE}" \
+  --scene_dir "${OUT}/scene_pts/inter_layer3/${SCENE}/ds8lin" \
+  --nerf_path "$NERF_CKPT" \
   --mutual --solver colmap --rthres 5 --iters 2
 
 echo "== done: compare t_med/r_med/recall + PSNR against the reference run =="

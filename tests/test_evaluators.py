@@ -336,6 +336,31 @@ def test_eval_multi_scenes_with_cache(scene, tmp_path):
     assert avg2["t_med"] == pytest.approx(avg["t_med"])
 
 
+def test_eval_multi_scenes_iters_requires_nerf_path(scene, tmp_path):
+    """--iters>1 re-renders through the NeRF: a missing --nerf_path must
+    fail loudly up front, not as FileNotFoundError('None') mid-eval
+    (bug found running scripts/run_real_parity.sh --synthetic)."""
+    from nerfmatch_tpu.eval.match_evaluator import NeRFMatchEvaluator
+
+    cfg = match_eval_cfg(scene)
+    ev = NeRFMatchEvaluator(cfg)
+    with pytest.raises(ValueError, match="--nerf_path"):
+        ev.eval_multi_scenes(split="val", iters=2, match_oracle=True,
+                             cache_dir=tmp_path, debug=True)
+
+
+def test_parse_nerf_stop_layer_reference_tag():
+    """The scene cache encodes its feature tap in the path (reference
+    model_eval/README.md:56 `.../inter_layer3/#scene/.../ds8lin`); a
+    tagless dir parses as -1, which the --iters path warns about —
+    re-rendering a different tap than the cache collapses matches."""
+    from nerfmatch_tpu.eval.match_evaluator import parse_nerf_stop_layer
+
+    ref = "outputs/scene_dirs/7scenes/sfm/inter_layer3/chess/mip/last_15ep/ds8lin"
+    assert parse_nerf_stop_layer(ref) == 3
+    assert parse_nerf_stop_layer("/tmp/x/scene_pts/toy/ds8lin") == -1
+
+
 def test_inerf_refinement_improves_pose(tmp_path):
     """Train a tiny NeRF on an emissive ball, perturb the pose, iNeRF back."""
     import optax
