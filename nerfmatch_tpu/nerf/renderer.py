@@ -95,8 +95,12 @@ class RenderConfig:
                                          # transparent scenes -> set 0 there.
                                          # Training is unaffected.
     trunk_int8: str = "none"             # fused EVAL path serving mode:
-                                         # "coarse" / "both" run the named
-                                         # stages' MLP trunks as int8 MXU
+                                         # "coarse" / "both" / "posttap"
+                                         # run the named stages' MLP trunks
+                                         # ("posttap": coarse fully + the
+                                         # fine trunk AFTER the feat tap —
+                                         # per-sample descriptor taps stay
+                                         # exact-bf16) as int8 MXU
                                          # dots with static per-scene
                                          # activation scales (2x MACs/cycle;
                                          # ops/pallas/quant.py).  Needs one
@@ -389,7 +393,8 @@ class NerfRenderer:
 
     def calibrate_int8(self, params, rays):
         """Calibrate per-scene int8 activation scales for the fused eval
-        path (``cfg.trunk_int8`` in {"coarse", "both"}) and invalidate the
+        path (``cfg.trunk_int8`` in {"coarse", "both", "posttap"}) and
+        invalidate the
         cached fused programs so they rebuild with the quantized trunks.
         ``rays``: a representative (N, 12) packed ray batch of the scene.
         Called lazily by ``predict``/``render_novel_views`` with their

@@ -15,7 +15,13 @@ overhead off the hot path:
 * scales are calibrated ONCE per scene from per-channel activation abs-max
   over a calibration ray batch (:func:`calibrate_act_scales`);
 * the sigma/rgb heads and everything downstream stay bf16/f32 — only the
-  8-layer trunk (85-90% of the MACs) quantizes.
+  8-layer trunk (85-90% of the MACs) quantizes;
+* ``spec.trunk_int8_from > 0`` ("posttap" serving mode) keeps layers below
+  it in the bf16 packing and enters the q-domain with one boundary requant
+  row (``qh``): the fine stage's per-sample descriptor taps stay exact-bf16
+  and int8 error reaches the composited feat/pts only through the
+  compositing weights (measured mean descriptor drift vs the "coarse"
+  render: 4.6e-5, 12x below full-fine-trunk "both").
 
 Measured semantic quality on the trained bench scene
 (scripts/int8_bench_probe.py, 9216 rays, vs the f32 XLA reference):
@@ -87,6 +93,8 @@ def pack_mlp_weights_int8(params, spec: FusedRenderSpec, scales):
     iq_rows = [(a / 127.0)[None, :] for a in acts]     # inverse (real units)
     last = L - 1
     tap = spec.feat_layer if spec.ret_feat else None
+    start = spec.trunk_int8_from  # posttap: layers < start keep the bf16
+    assert 0 <= start <= last, (start, L)  # packing (and their b{i} rows)
 
     def trunk_w(i):
         """Quantize layer i's weight; returns {suffix: (int8 w, deq row)}."""
@@ -105,7 +113,12 @@ def pack_mlp_weights_int8(params, spec: FusedRenderSpec, scales):
         return out
 
     w["qenc"] = (127.0 / enc_s128)[None, :]
-    for i in range(L):
+    if start > 0:
+        # posttap boundary: one requant row turns the bf16 prefix's
+        # real-unit activation into the first int8 layer's input.
+        w["qh"] = q_rows[start - 1]
+        assert tap is None or tap < start, (tap, start)
+    for i in range(start, L):
         for suf, (q, sw) in trunk_w(i).items():
             w[f"w{i}{suf}q"] = q
             if i == last:

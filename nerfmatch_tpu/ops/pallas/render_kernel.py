@@ -138,6 +138,15 @@ class FusedRenderSpec:
                                  # 7.9e-4); both-stage 3.9e-3 — above the
                                  # bf16 noise floor, hence NOT the
                                  # benchmark default.  Heads stay bf16/f32.
+    trunk_int8_from: int = 0     # first trunk layer run int8 (earlier
+                                 # layers stay bf16).  0 = whole trunk.
+                                 # The fine stage's "posttap" serving mode
+                                 # sets feat_layer+1: per-sample descriptor
+                                 # taps come out of the exact bf16 prefix
+                                 # and only the sigma/rgb suffix quantizes,
+                                 # so int8 error reaches feat/pts solely
+                                 # through the compositing weights — one
+                                 # drift channel instead of "both"'s two.
     ablate: str = ""             # DIAGNOSTIC ONLY (scripts/stage_probe.py):
                                  # comma-joined pieces to stub out of the
                                  # blocked body so their cost can be timed
@@ -571,10 +580,33 @@ def make_fused_render(spec: FusedRenderSpec, interpret: bool = False):
                     return jnp.clip(y, -127, 127).astype(jnp.int8)
 
                 last = spec.layer_num - 1
+                start = spec.trunk_int8_from
                 feat_tap = None
-                xq = sat8(jnp.round(xb_f * wrefs["qenc"][...]))
-                hq = None
-                for i in range(spec.layer_num):
+                if start > 0:
+                    # posttap: exact-bf16 prefix through the feat tap,
+                    # then requantize once (qh = 127/act_scale[start-1])
+                    # and continue in the q-domain.  xq is only needed
+                    # if an int8 layer re-injects the skip concat.
+                    xb = xb_f.astype(jnp.bfloat16)
+                    h = jax.nn.relu(mm(xb, wrefs["w0"][...])
+                                    + wrefs["b0"][...])
+                    feat_tap = h
+                    for i in range(1, start):
+                        acc_h = mm(h, wrefs[f"w{i}"][...])
+                        if f"w{i}s" in wrefs:
+                            acc_h = acc_h + mm(xb, wrefs[f"w{i}s"][...])
+                        h = jax.nn.relu(acc_h + wrefs[f"b{i}"][...])
+                        if i == spec.feat_layer:
+                            feat_tap = h
+                    hq = sat8(jnp.round(h * wrefs["qh"][...]))
+                    xq = (sat8(jnp.round(xb_f * wrefs["qenc"][...]))
+                          if any(f"w{i}sq" in wrefs
+                                 for i in range(start, spec.layer_num))
+                          else None)
+                else:
+                    xq = sat8(jnp.round(xb_f * wrefs["qenc"][...]))
+                    hq = None
+                for i in range(start, spec.layer_num):
                     acc_h = i8mm(xq if i == 0 else hq,
                                  wrefs[f"w{i}q"][...])
                     if i == last:
@@ -1136,7 +1168,11 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     ray_tile at fixed sample_blocks, since the z-block reduction order
     is unchanged — the adaptive default is purely a schedule choice.
 
-    ``trunk_int8`` in {"none", "coarse", "both"}: opt-in int8 serving mode
+    ``trunk_int8`` in {"none", "coarse", "both", "posttap"}: opt-in int8
+    serving mode ("posttap" quantizes the coarse trunk fully and the fine
+    trunk only AFTER the descriptor tap — per-sample taps stay exact-bf16
+    and int8 error reaches feat/pts only through the compositing weights,
+    removing the per-sample descriptor drift "both" carries)
     — run the named stages' MLP trunks as int8 MXU dots (2x bf16 MACs/
     cycle).  Requires ``act_scales`` from
     :func:`nerfmatch_tpu.ops.pallas.quant.calibrate_act_scales` (static
@@ -1190,9 +1226,17 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     app_dim = 16 if cfg.appearance_embedding else 0
     if ray_tile is None:  # adaptive schedule default (docstring table)
         ray_tile = 16 if early_term_eps > 0 else 32
-    assert trunk_int8 in ("none", "coarse", "both"), trunk_int8
-    int8_c = trunk_int8 in ("coarse", "both")
-    int8_f = trunk_int8 == "both"
+    assert trunk_int8 in ("none", "coarse", "both", "posttap"), trunk_int8
+    int8_c = trunk_int8 in ("coarse", "both", "posttap")
+    # "posttap" = coarse fully int8 (as in "coarse") + the fine trunk int8
+    # from feat_layer+1 on: the matching descriptors come out of the exact
+    # bf16 prefix, only the sigma/rgb suffix quantizes.  Degenerates to
+    # plain "coarse" when the tap sits on the last layer.
+    _tap = eval_feat_layer(fine_cfg)
+    int8_f_from = _tap + 1 if trunk_int8 == "posttap" else 0
+    int8_f = (trunk_int8 == "both"
+              or (trunk_int8 == "posttap"
+                  and int8_f_from <= fine_cfg.layer_num - 1))
     assert not int8_c or act_scales is not None, \
         "trunk_int8 requires act_scales (quant.calibrate_act_scales)"
     spec = FusedRenderSpec(
@@ -1203,7 +1247,8 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
         dirs_freqs=cfg.dirs_num_freqs, app_dim=app_dim,
         sample_blocks=sample_blocks, early_term_eps=early_term_eps,
         var_scale=(cfg.mip_var_scale if cfg.mip_var_scale > 0 else 1.0),
-        feat_max=(cfg.feat_comb == "max"), trunk_int8=int8_f)
+        feat_max=(cfg.feat_comb == "max"), trunk_int8=int8_f,
+        trunk_int8_from=(int8_f_from if int8_f else 0))
     fused = make_fused_render(spec, interpret=interpret)
     # Coarse pass: only depth/weights feed the fine stage — skip the
     # composited feat/pts reductions and (by default) the rgb head chain.
@@ -1216,7 +1261,7 @@ def make_fused_hierarchical(renderer, interpret: bool = False,
     # trained bench scene: mean |delta| ~1e-7, pointwise max ~8e-4 on
     # weights (resample chaos, same class as blocked-vs-unblocked).
     coarse_spec = _dc.replace(spec, ret_feat=False, ret_rgb=coarse_rgb,
-                              trunk_int8=int8_c,
+                              trunk_int8=int8_c, trunk_int8_from=0,
                               sample_blocks=(coarse_sample_blocks
                                              or sample_blocks))
     fused_coarse = make_fused_render(coarse_spec, interpret=interpret)

@@ -1,8 +1,22 @@
 """On-chip probe for the opt-in int8 render trunk (quant.py).
 
 Times the fused hierarchical render at bench shapes (9216 rays, 8-chunk
-scan grouping, checksum fetch) for trunk_int8 in {none, coarse, both} and
-reports quality deltas vs the f32 XLA path on the trained bench scene.
+scan grouping, checksum fetch) for trunk_int8 in {none, coarse, posttap,
+both} x eps in {0, 1e-4} and reports quality deltas vs the f32 XLA path on
+the trained bench scene, plus each int8 mode's composited-descriptor drift
+vs the gate-approved "coarse" render.
+
+Measured 2026-08-20 (v5e, trained room scene):
+
+    eps=0      none 18.89 ms 487.8k | coarse 17.76 518.9k |
+               posttap 16.87 546.3k | both 17.12 538.2k
+    eps=1e-4   none 18.75 ms 491.6k | coarse 18.25 504.9k |
+               posttap 17.61 523.3k | both 17.49 526.9k
+    feat-vs-coarse mean |delta|: posttap 4.6e-05, both 5.6e-04 (12x) —
+    posttap's per-sample descriptor taps are exact-bf16; only the
+    compositing weights carry int8 error.  posttap even BEATS "both" at
+    eps=0: the bf16 prefix overlaps the VPU epilogue better than the
+    extra qenc/skip int8 traffic saves.
 """
 
 from __future__ import annotations
@@ -60,20 +74,32 @@ def main():
     ref = jax.jit(lambda r: renderer.render_rays(
         params, r, ret_pfeat=True, validation=True))(rays0)
 
-    for mode in ("none", "coarse", "both"):
-        kw = {} if mode == "none" else dict(trunk_int8=mode,
-                                            act_scales=scales)
-        render, pack = make_fused_hierarchical(renderer, **kw)
-        wc, wf = pack(params)
-        dt = time_render(render, wc, wf, rays_stack)
-        out = jax.jit(lambda r: render(wc, wf, r))(rays0)
-        d_rgb = np.abs(np.asarray(out["rgb_fine"])
-                       - np.asarray(ref["rgb_fine"]))
-        ray_max = d_rgb.reshape(BATCH, -1).max(axis=1)
-        print(f"{mode:6s}: {dt*1e3:6.2f} ms/chunk  "
-              f"{BATCH/dt/1e3:6.1f}k rays/s  "
-              f"rgb max {d_rgb.max():.2e} mean {d_rgb.mean():.2e} "
-              f"rays>1e-2 {(ray_max > 1e-2).sum()}", flush=True)
+    # eps sweep mirrors the two bench arms (eps=0 / the serving default
+    # 1e-4 with its adaptive ray tile); "posttap" quantizes the fine trunk
+    # only after the descriptor tap (see render_kernel.FusedRenderSpec).
+    feat_c = {}
+    for eps in (0.0, 1e-4):
+        for mode in ("none", "coarse", "posttap", "both"):
+            kw = dict(early_term_eps=eps)
+            if mode != "none":
+                kw.update(trunk_int8=mode, act_scales=scales)
+            render, pack = make_fused_hierarchical(renderer, **kw)
+            wc, wf = pack(params)
+            dt = time_render(render, wc, wf, rays_stack)
+            out = jax.jit(lambda r: render(wc, wf, r))(rays0)
+            d_rgb = np.abs(np.asarray(out["rgb_fine"])
+                           - np.asarray(ref["rgb_fine"]))
+            ray_max = d_rgb.reshape(BATCH, -1).max(axis=1)
+            feat = np.asarray(out["feat_fine"])
+            if mode == "coarse":
+                feat_c[eps] = feat
+            dfc = (np.abs(feat - feat_c[eps]).mean()
+                   if eps in feat_c else float("nan"))
+            print(f"eps={eps:g} {mode:8s}: {dt*1e3:6.2f} ms/chunk  "
+                  f"{BATCH/dt/1e3:6.1f}k rays/s  "
+                  f"rgb max {d_rgb.max():.2e} mean {d_rgb.mean():.2e} "
+                  f"rays>1e-2 {(ray_max > 1e-2).sum()}  "
+                  f"feat-vs-coarse {dfc:.2e}", flush=True)
 
 
 if __name__ == "__main__":

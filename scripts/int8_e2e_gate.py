@@ -52,7 +52,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from scripts.e2e_full_pipeline_tpu import (  # noqa: E402
     DS, build_scene, matcher_cfg, nerf_config)
 
-MODES = ("none", "xla", "coarse", "both")
+# Candidate int8 modes under test; the "none" baseline + "xla" noise-floor
+# arms always run.  Override with E2E_INT8_MODES=posttap (comma list) to
+# gate a single new mode without re-running the already-gated ones.
+CANDIDATES = tuple(
+    m for m in os.environ.get("E2E_INT8_MODES", "coarse,both").split(",")
+    if m)
+MODES = ("none", "xla") + CANDIDATES
 R_THRES, T_THRES = 5.0, 0.05  # recall thresholds (deg, scene units)
 
 
@@ -141,7 +147,7 @@ def main():
 
     # ---- verdict ----
     print("== int8 serving gate summary ==")
-    for mode in ("xla", "coarse", "both"):
+    for mode in ("xla",) + CANDIDATES:
         print(f"cache stage (warm): none {cache_times['none']:.1f}s -> "
               f"{mode} {cache_times[mode]:.1f}s "
               f"({cache_times['none'] / cache_times[mode]:.2f}x)")
@@ -165,7 +171,7 @@ def main():
               f"|dR|={dmr:.4f}deg |dt|={dmt:.5f} (per-query max "
               f"{dr:.4f}/{dt:.5f})")
     ok = True
-    for mode in ("coarse", "both"):
+    for mode in CANDIDATES:
         for proto in ("single", "iters2"):
             dmr, dmt, dr, dt, rec0, rec1 = drift(mode, proto)
             lim_r = max(0.05, 2 * floor[proto][0])

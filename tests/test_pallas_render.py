@@ -663,6 +663,33 @@ def test_fused_hierarchical_int8_trunk():
                      - np.asarray(ref["rgb_fine"]))
     assert d_rgb_c.mean() <= d_rgb.mean() + 1e-3
 
+    # "posttap": coarse fully int8 + fine trunk int8 AFTER the descriptor
+    # tap.  Its coarse packing equals "coarse" mode's, so the resampled z
+    # and the per-sample bf16 taps are identical — int8 error reaches
+    # feat/pts only through the compositing weights.  Checked as: (a)
+    # posttap stays within the int8 budget vs f32, and (b) its descriptors
+    # sit strictly closer to the gate-approved "coarse" render than
+    # "both"'s do (the per-sample descriptor drift channel is removed).
+    render_p, pack_p = make_fused_hierarchical(
+        renderer, interpret=True, ray_tile=8, trunk_int8="posttap",
+        act_scales=scales)
+    wcp, wfp = pack_p(params)
+    out_p = render_p(wcp, wfp, jnp.asarray(rays))
+    d_rgb_p = np.abs(np.asarray(out_p["rgb_fine"])
+                     - np.asarray(ref["rgb_fine"]))
+    assert d_rgb_p.mean() < 1e-2 and d_rgb_p.max() < 8e-2, \
+        (d_rgb_p.mean(), d_rgb_p.max())
+    assert np.allclose(np.asarray(out_p["depth_fine"]),
+                       np.asarray(ref["depth_fine"]), atol=8e-2)
+    fc = np.asarray(out_c["feat_fine"])
+    d_p = np.abs(np.asarray(out_p["feat_fine"]) - fc).mean()
+    d_b = np.abs(np.asarray(out["feat_fine"]) - fc).mean()
+    assert d_p < d_b, (d_p, d_b)
+    pc = np.asarray(out_c["pts_fine"])
+    dp_p = np.abs(np.asarray(out_p["pts_fine"]) - pc).mean()
+    dp_b = np.abs(np.asarray(out["pts_fine"]) - pc).mean()
+    assert dp_p < dp_b, (dp_p, dp_b)
+
 
 def test_renderer_int8_serving_mode():
     """cfg render.trunk_int8 routes predict() through the quantized fused
